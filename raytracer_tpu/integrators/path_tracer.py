@@ -1,0 +1,328 @@
+"""Wavefront path tracer (naive + MIS), differentiable, jit-compiled.
+
+TPU re-expression of the reference integrators:
+- naive BSDF-sampling PT (`Core/Rendering/PathTracer.cpp:74-172`)
+- PT with next-event estimation and balance-heuristic MIS
+  (`Core/Rendering/PathTracerMIS.cpp:254-415`)
+
+The per-pixel ``for(;;)`` bounce loop becomes a `lax.scan` over bounce index
+with per-lane alive masks — the analogue of the reference's packet compaction
+(P2 in SURVEY §2.9), but compiler-friendly and reverse-mode differentiable
+(scan supports AD where while_loop does not).  All discrete sampling decisions
+(hit ids, lobe choice, RR) are non-differentiated; radiance stays smooth in
+material/light/camera parameters.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..math.sampling import local_to_world, pdf_area_to_solid_angle, world_to_local
+from ..math.vec import Vec3, dot, max_component, where as vwhere
+from ..ops import bsdf as bsdf_ops
+from ..ops.intersect import BIG, PrimFrame, eval_prim_frame
+from ..ops.lights import gather_light, illuminate
+from ..ops.materials import resolve_material
+from ..ops.traverse import scene_occluded, scene_traverse
+from ..sampler.sampler import SampleStream, next_1d, next_3d
+from ..scene.camera import Rays
+from ..scene.types import (
+    LIGHT_BACKGROUND,
+    LIGHT_DIRECTIONAL,
+    SceneData,
+    SceneMeta,
+)
+
+RAY_OFFSET = 1e-3  # secondary ray epsilon (`PathTracerMIS.cpp:392`)
+SHADOW_OFFSET = 1e-4  # shadow ray epsilon (`PathTracerMIS.cpp:90-92`)
+
+
+@dataclass(frozen=True)
+class RenderParams:
+    """Static integrator config (RenderingParams, `Context.h:55-90`)."""
+
+    max_depth: int = 20
+    min_rr_depth: int = 1
+    mis: bool = True  # False => naive PathTracer semantics
+    light_strategy: str = "single"  # "single" | "all" (`Context.h:28-33`)
+    # unroll the bounce loop instead of lax.scan: larger program, but lets XLA
+    # optimize across bounces and (currently) avoids a scan-linearization
+    # numerical issue in reverse-mode AD — use for differentiable rendering
+    unroll: bool = False
+
+
+class Counters(NamedTuple):
+    """Per-wavefront ray counters (`Core/Rendering/Counters.h:10-48`)."""
+
+    num_rays: jnp.ndarray  # primary+secondary rays actually traced
+    num_shadow_rays: jnp.ndarray
+
+
+def _combine_mis(sample_pdf, other_pdf):
+    """Balance heuristic (`PathTracerMIS.cpp:16-24`)."""
+    return sample_pdf / jnp.maximum(sample_pdf + other_pdf, 1e-12)
+
+
+class _PathState(NamedTuple):
+    origin: Vec3
+    direction: Vec3
+    throughput: Vec3
+    result: Vec3
+    alive: jnp.ndarray
+    last_pdf: jnp.ndarray
+    last_specular: jnp.ndarray
+    stream: SampleStream
+    num_rays: jnp.ndarray
+    num_shadow_rays: jnp.ndarray
+
+
+def _light_pick_probability(meta: SceneMeta, params: RenderParams) -> float:
+    """GetLightPickingProbability (`PathTracerMIS.cpp:157-172`)."""
+    if params.light_strategy == "all":
+        return 1.0
+    return 1.0 / max(meta.n_lights, 1)
+
+
+def _env_radiance(scene: SceneData, li: int, direction: Vec3) -> Vec3:
+    """Background color along a direction, with optional env texture
+    (`BackgroundLight.cpp:45-61`)."""
+    lights = scene.lights
+    color = Vec3(lights.color.x[li], lights.color.y[li], lights.color.z[li])
+    if scene.textures is not None:
+        from ..math.sampling import cartesian_to_spherical_uv
+        from ..ops.textures import sample_texture_many
+
+        tex_id = lights.env_tex[li]
+        u, v = cartesian_to_spherical_uv(direction)
+        ids = jnp.full_like(direction.x.astype(jnp.int32), 0) + tex_id
+        tex = sample_texture_many(scene.textures, ids, u, v)
+        color = color * tex
+    return color
+
+
+def _eval_global_lights(
+    scene: SceneData, meta: SceneMeta, direction: Vec3, last_pdf, last_specular,
+    depth, pick_prob, use_mis_weights: bool,
+) -> Vec3:
+    """Radiance from infinite lights on ray miss, MIS-weighted
+    (`PathTracerMIS.cpp:215-252`). Static unroll over lights (kinds are static
+    metadata, so only the relevant branches are emitted)."""
+    lights = scene.lights
+    total = Vec3.full(jnp.zeros_like(direction.x))
+    use_mis = (depth > 0) & (~last_specular) if use_mis_weights else jnp.zeros((), bool)
+    for li, kind in enumerate(meta.light_kinds):
+        if kind == LIGHT_BACKGROUND:
+            radiance = _env_radiance(scene, li, direction)
+            direct_pdf_w = 1.0 / (2.0 * jnp.pi)  # UniformHemispherePdf
+            visible = jnp.ones_like(direction.x, bool)
+        elif kind == LIGHT_DIRECTIONAL and not meta.light_is_delta[li]:
+            cos_angle = lights.cos_angle[li]
+            axis = Vec3(lights.rot.r2.x[li], lights.rot.r2.y[li], lights.rot.r2.z[li])
+            visible = dot(direction, axis) < -cos_angle
+            radiance = Vec3(lights.color.x[li], lights.color.y[li], lights.color.z[li])
+            direct_pdf_w = 1.0 / jnp.maximum(2.0 * jnp.pi * (1.0 - cos_angle), 1e-20)
+        else:
+            continue
+        w = jnp.where(use_mis, _combine_mis(last_pdf, direct_pdf_w * pick_prob), 1.0)
+        total = total + radiance * (w * visible.astype(jnp.float32))
+    return total
+
+
+def _merge_frames(is_tri, a: PrimFrame, b: PrimFrame) -> PrimFrame:
+    return PrimFrame(
+        position=vwhere(is_tri, a.position, b.position),
+        normal=vwhere(is_tri, a.normal, b.normal),
+        tangent=vwhere(is_tri, a.tangent, b.tangent),
+        bitangent=vwhere(is_tri, a.bitangent, b.bitangent),
+        tex_u=jnp.where(is_tri, a.tex_u, b.tex_u),
+        tex_v=jnp.where(is_tri, a.tex_v, b.tex_v),
+        material_id=jnp.where(is_tri, a.material_id, b.material_id),
+        light_id=jnp.where(is_tri, a.light_id, b.light_id),
+    )
+
+
+def _sample_lights_nee(
+    scene: SceneData, meta: SceneMeta, params: RenderParams, frame: PrimFrame,
+    mp, wo_local, pick_prob, is_last, stream: SampleStream,
+):
+    """NEE (`PathTracerMIS.cpp:43-155`): 'single' picks one light uniformly,
+    'all' loops every light. Returns (contribution, n_shadow_rays, stream)."""
+    n_lights = max(meta.n_lights, 1)
+    u_pick, stream = next_1d(stream)
+    if params.light_strategy == "all" and n_lights > 1:
+        light_indices = [jnp.full_like(frame.material_id, i) for i in range(n_lights)]
+    elif n_lights == 1:
+        light_indices = [jnp.zeros_like(frame.material_id)]
+    else:
+        light_indices = [jnp.clip((u_pick * n_lights).astype(jnp.int32), 0, n_lights - 1)]
+
+    total = Vec3.full(jnp.zeros_like(wo_local.x))
+    n_shadow = jnp.zeros((), jnp.float32)
+    for light_idx in light_indices:
+        l = gather_light(scene.lights, light_idx)
+        u1, u2, u3, stream = next_3d(stream)
+        ill = illuminate(l, frame.position, frame.normal, u1, u2, u3)
+
+        radiance = ill.radiance
+        if meta.background_light_index >= 0 and scene.textures is not None:
+            bg_rad = _env_radiance(scene, meta.background_light_index, ill.dir_to_light)
+            radiance = vwhere(l.kind == LIGHT_BACKGROUND, bg_rad, radiance)
+
+        wi_local = world_to_local(ill.dir_to_light, frame.tangent, frame.bitangent, frame.normal)
+        f, bsdf_pdf = bsdf_ops.evaluate(mp, wo_local, wi_local)
+        f_nonzero = max_component(f) > 0.0
+
+        shadow_origin = frame.position + ill.dir_to_light * SHADOW_OFFSET
+        max_t = jnp.minimum(ill.distance * 0.999, BIG)
+        occluded = scene_occluded(scene, shadow_origin, ill.dir_to_light, max_t)
+        n_shadow = n_shadow + jnp.sum((ill.valid & f_nonzero).astype(jnp.float32))
+
+        w = jnp.where(
+            (~l.is_delta) & (~is_last),
+            _combine_mis(ill.direct_pdf_w * pick_prob, bsdf_pdf),
+            1.0,
+        )
+        scale = (
+            w
+            / jnp.maximum(pick_prob * ill.direct_pdf_w, 1e-12)
+            * (ill.valid & f_nonzero & (~occluded)).astype(jnp.float32)
+        )
+        total = total + radiance * f * scale
+    return total, n_shadow, stream
+
+
+def trace_radiance(
+    scene: SceneData,
+    meta: SceneMeta,
+    rays: Rays,
+    stream: SampleStream,
+    params: RenderParams,
+) -> tuple[Vec3, Counters]:
+    """Trace a wavefront to completion. Returns (radiance per ray, counters)."""
+    n = rays.origin.x.shape
+    pick_prob = _light_pick_probability(meta, params)
+
+    init = _PathState(
+        origin=rays.origin,
+        direction=rays.dir,
+        throughput=Vec3.ones(n),
+        result=Vec3.zeros(n),
+        alive=jnp.ones(n, bool),
+        last_pdf=jnp.ones(n, jnp.float32),
+        last_specular=jnp.ones(n, bool),
+        stream=stream,
+        num_rays=jnp.zeros((), jnp.float32),
+        num_shadow_rays=jnp.zeros((), jnp.float32),
+    )
+
+    def bounce(state: _PathState, depth) -> _PathState:
+        num_rays = state.num_rays + jnp.sum(state.alive.astype(jnp.float32))
+        hits = scene_traverse(scene, state.origin, state.direction)
+        miss = hits.t >= BIG * 0.5
+        # clamp miss-lane distances: t = BIG squares to inf in f32, and inf in
+        # masked-out lanes poisons reverse-mode AD (0*inf = nan in cotangents)
+        hits = hits._replace(t=jnp.clip(hits.t, 0.0, 1e12))
+
+        # --- miss: global (infinite) lights ----------------------------------
+        bg = _eval_global_lights(
+            scene, meta, state.direction, state.last_pdf, state.last_specular,
+            depth, pick_prob, use_mis_weights=params.mis,
+        )
+        m_miss = (state.alive & miss).astype(jnp.float32)
+        result = state.result + state.throughput * bg * m_miss
+
+        # --- shading frame at the hit ----------------------------------------
+        frame = eval_prim_frame(
+            scene.prims, hits.prim_id, state.origin, state.direction, hits.t
+        )
+        if scene.tris is not None:
+            from ..ops.bvh_traverse import eval_tri_frame
+
+            tri_frame = eval_tri_frame(scene.tris, hits, state.origin, state.direction)
+            frame = _merge_frames(hits.tri_id >= 0, tri_frame, frame)
+
+        # --- direct light hit (`PathTracerMIS.cpp:174-212`) -------------------
+        hit_light = state.alive & (~miss) & (frame.light_id >= 0)
+        l_hit = gather_light(scene.lights, jnp.maximum(frame.light_id, 0))
+        cos_at_light = dot(frame.normal, -state.direction)
+        l_visible = cos_at_light > 1e-7
+        direct_pdf_a = 1.0 / jnp.maximum(l_hit.area, 1e-8)
+        direct_pdf_w = pdf_area_to_solid_angle(direct_pdf_a, hits.t, cos_at_light)
+        use_mis = (depth > 0) & (~state.last_specular)
+        w_light = jnp.where(
+            use_mis, _combine_mis(state.last_pdf, direct_pdf_w * pick_prob), 1.0
+        )
+        if not params.mis:
+            w_light = jnp.ones_like(w_light)
+        m_light = (hit_light & l_visible).astype(jnp.float32)
+        result = result + state.throughput * l_hit.color * (w_light * m_light)
+
+        # --- surviving shading lanes ------------------------------------------
+        survive = state.alive & (~miss) & (~hit_light)
+        mp = resolve_material(scene, frame.material_id, frame.tex_u, frame.tex_v)
+
+        # emission accumulation (`PathTracerMIS.cpp:306-317`)
+        result = result + state.throughput * mp.emission * survive.astype(jnp.float32)
+
+        wo_local = world_to_local(
+            -state.direction, frame.tangent, frame.bitangent, frame.normal
+        )
+
+        stream = state.stream
+        is_last = depth >= params.max_depth
+        num_shadow = state.num_shadow_rays
+        if params.mis:
+            nee, n_sh, stream = _sample_lights_nee(
+                scene, meta, params, frame, mp, wo_local, pick_prob, is_last, stream
+            )
+            num_shadow = num_shadow + n_sh
+            result = result + state.throughput * nee * survive.astype(jnp.float32)
+
+        # --- depth cap (`PathTracerMIS.cpp:320-325`) ---------------------------
+        survive = survive & (depth < params.max_depth)
+
+        # --- Russian roulette (`PathTracerMIS.cpp:327-347`) --------------------
+        u_rr, stream = next_1d(stream)
+        threshold = 0.125 + 0.875 * jnp.clip(max_component(mp.base_color), 0.0, 1.0)
+        do_rr = depth >= params.min_rr_depth
+        rr_kill = do_rr & (u_rr > threshold)
+        survive = survive & (~rr_kill)
+        rr_scale = jnp.where(do_rr, 1.0 / jnp.maximum(threshold, 1e-6), 1.0)
+        throughput = state.throughput * jnp.where(survive, rr_scale, 1.0)
+
+        # --- BSDF sampling (`PathTracerMIS.cpp:349-368`) ------------------------
+        u1, u2, u3, stream = next_3d(stream)
+        smp = bsdf_ops.sample(mp, wo_local, u1, u2, u3)
+        survive = survive & smp.valid
+        wi_world = local_to_world(smp.wi, frame.tangent, frame.bitangent, frame.normal)
+        throughput = throughput * vwhere(survive, smp.weight, Vec3.ones(n))
+        survive = survive & (max_component(throughput) > 1e-7)
+
+        new_origin = frame.position + wi_world * RAY_OFFSET
+        return _PathState(
+            origin=vwhere(survive, new_origin, state.origin),
+            direction=vwhere(survive, wi_world, state.direction),
+            throughput=throughput,
+            result=result,
+            alive=survive,
+            last_pdf=jnp.where(survive, smp.pdf, state.last_pdf),
+            last_specular=jnp.where(survive, smp.specular, state.last_specular),
+            stream=stream,
+            num_rays=num_rays,
+            num_shadow_rays=num_shadow,
+        )
+
+    # loop over bounce index; the final step only resolves the last segment's
+    # miss / light-hit (the reference breaks after NEE at max depth)
+    if params.unroll:
+        state = init
+        for d in range(params.max_depth + 1):
+            state = bounce(state, jnp.int32(d))
+    else:
+        depths = jnp.arange(params.max_depth + 1)
+        state, _ = jax.lax.scan(lambda s, d: (bounce(s, d), None), init, depths)
+    return state.result, Counters(state.num_rays, state.num_shadow_rays)

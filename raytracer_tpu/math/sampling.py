@@ -1,0 +1,160 @@
+"""Vectorized sampling helpers and pdfs.
+
+TPU re-expression of ``Core/Math/SamplingHelpers.{h,cpp}`` and the pdf helpers
+in ``Core/Math/Geometry.h:17-43``.  All functions map arrays of uniform [0,1)
+samples to points/directions, fully branchless.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from .vec import Vec3, cross, dot, normalize
+
+PI = jnp.pi
+INV_PI = 1.0 / jnp.pi
+TWO_PI = 2.0 * jnp.pi
+
+
+# --- pdfs (Geometry.h:17-43) -------------------------------------------------
+def uniform_hemisphere_pdf():
+    return 1.0 / (2.0 * PI)
+
+
+def uniform_sphere_pdf():
+    return 1.0 / (4.0 * PI)
+
+
+def uniform_circle_pdf(radius):
+    return 1.0 / (PI * radius * radius)
+
+
+def sphere_cap_pdf(cos_theta_max):
+    return 1.0 / (TWO_PI * (1.0 - cos_theta_max))
+
+
+def cos_hemisphere_pdf(cos_theta):
+    return jnp.maximum(cos_theta, 0.0) * INV_PI
+
+
+def pdf_area_to_solid_angle(pdf_a, distance, cos_there):
+    """PdfAtoW (`PathTracerMIS.cpp:26-29`)."""
+    return pdf_a * distance * distance / jnp.maximum(jnp.abs(cos_there), 1e-4)
+
+
+# --- mappings ----------------------------------------------------------------
+def sample_circle(u1, u2) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Uniform point on the unit disc (`SamplingHelpers.cpp` GetCircle)."""
+    theta = TWO_PI * u1
+    r = jnp.sqrt(u2)
+    return r * jnp.sin(theta), r * jnp.cos(theta)
+
+
+def sample_hexagon(u1, u2, u3) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Uniform point on a regular hexagon (GetHexagon)."""
+    hx = jnp.array([-1.0, 0.5, 0.5, -1.0])
+    hy = jnp.array([0.0, 0.8660254, -0.8660254, 0.0])
+    i = jnp.clip((3.0 * u3).astype(jnp.int32), 0, 2)
+    ax, ay = hx[i], hy[i]
+    bx, by = hx[i + 1], hy[i + 1]
+    return u1 * ax + u2 * bx, u1 * ay + u2 * by
+
+
+def sample_regular_polygon(n_blades, u1, u2, u3) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Uniform point on a regular n-gon (bokeh shapes, `Camera.h:21-50`)."""
+    n = jnp.maximum(n_blades, 3).astype(jnp.float32)
+    # pick a triangular sector, then sample the triangle
+    sector = jnp.floor(u3 * n)
+    a0 = TWO_PI * sector / n
+    a1 = TWO_PI * (sector + 1.0) / n
+    t = jnp.sqrt(u1)
+    b0, b1 = 1.0 - t, u2 * t
+    x = b0 * jnp.cos(a0) + b1 * jnp.cos(a1)
+    y = b0 * jnp.sin(a0) + b1 * jnp.sin(a1)
+    return x, y
+
+
+def sample_square(u1, u2) -> tuple[jnp.ndarray, jnp.ndarray]:
+    return 2.0 * u1 - 1.0, 2.0 * u2 - 1.0
+
+
+def sample_triangle_barycentric(u1, u2) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """(u, v) barycentric coords, uniform over the triangle (GetTriangle)."""
+    t = jnp.sqrt(u1)
+    return 1.0 - t, u2 * t
+
+
+def sample_sphere(u1, u2) -> Vec3:
+    """Uniform direction on the unit sphere (GetSphere)."""
+    z = 2.0 * u2 - 1.0
+    t = jnp.sqrt(jnp.maximum(0.0, 1.0 - z * z))
+    theta = PI * (2.0 * u1 - 1.0)
+    return Vec3(t * jnp.cos(theta), t * jnp.sin(theta), z)
+
+
+def sample_hemisphere(u1, u2) -> Vec3:
+    """Uniform direction on the +Z hemisphere (GetHemishpere)."""
+    z = u2
+    t = jnp.sqrt(jnp.maximum(0.0, 1.0 - z * z))
+    theta = TWO_PI * u1
+    return Vec3(t * jnp.cos(theta), t * jnp.sin(theta), z)
+
+
+def sample_hemisphere_cos(u1, u2) -> Vec3:
+    """Cosine-weighted direction on the +Z hemisphere (GetHemishpereCos)."""
+    theta = TWO_PI * u1
+    r = jnp.sqrt(u2)
+    z = jnp.sqrt(jnp.maximum(0.0, 1.0 - u2))
+    return Vec3(r * jnp.cos(theta), r * jnp.sin(theta), z)
+
+
+def sample_gaussian2(u1, u2) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Box-Muller 2D normal (GetFloatNormal2) — used for AA jitter."""
+    r = jnp.sqrt(jnp.maximum(0.0, -2.0 * jnp.log(jnp.maximum(u1, 1e-12))))
+    theta = TWO_PI * u2
+    return r * jnp.cos(theta), r * jnp.sin(theta)
+
+
+def sample_cone(cos_theta_max, u1, u2) -> Vec3:
+    """Uniform direction in a +Z cone of half-angle acos(cos_theta_max)."""
+    cos_theta = 1.0 + u1 * (cos_theta_max - 1.0)
+    sin_theta = jnp.sqrt(jnp.maximum(0.0, 1.0 - cos_theta * cos_theta))
+    phi = TWO_PI * u2
+    return Vec3(sin_theta * jnp.cos(phi), sin_theta * jnp.sin(phi), cos_theta)
+
+
+# --- orthonormal basis ---------------------------------------------------------
+def build_onb(n: Vec3) -> tuple[Vec3, Vec3]:
+    """Build tangent/bitangent for normal ``n`` (BuildOrthonormalBasis).
+
+    Branchless Duff et al. construction; safe at n.z = -1.
+    """
+    sign = jnp.where(n.z >= 0.0, 1.0, -1.0)
+    a = -1.0 / (sign + n.z)
+    b = n.x * n.y * a
+    t = Vec3(1.0 + sign * n.x * n.x * a, sign * b, -sign * n.x)
+    bt = Vec3(b, sign + n.y * n.y * a, -n.y)
+    return t, bt
+
+
+def local_to_world(v_local: Vec3, t: Vec3, b: Vec3, n: Vec3) -> Vec3:
+    return t * v_local.x + b * v_local.y + n * v_local.z
+
+
+def world_to_local(v_world: Vec3, t: Vec3, b: Vec3, n: Vec3) -> Vec3:
+    return Vec3(dot(v_world, t), dot(v_world, b), dot(v_world, n))
+
+
+def spherical_to_cartesian(phi, cos_theta) -> Vec3:
+    sin_theta = jnp.sqrt(jnp.maximum(0.0, 1.0 - cos_theta * cos_theta))
+    return Vec3(sin_theta * jnp.cos(phi), sin_theta * jnp.sin(phi), cos_theta)
+
+
+def cartesian_to_spherical_uv(d: Vec3) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Direction -> lat-long texture coords, matching
+    ``CartesianToSphericalCoordinates`` (`Core/Math/Geometry.cpp`)."""
+    theta = jnp.arccos(jnp.clip(d.y, -1.0, 1.0))
+    phi = jnp.arctan2(d.z, d.x)
+    u = phi / TWO_PI + 0.5
+    v = theta * INV_PI
+    return u, v

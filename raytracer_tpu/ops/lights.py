@@ -1,0 +1,198 @@
+"""Wavefront light sampling (NEE) and radiance evaluation.
+
+Branchless re-expression of `Core/Scene/Light/*.cpp`: every light kind's
+Illuminate / GetRadiance is computed masked and selected by the per-light
+integer kind.  All conventions (pdfs, cone tests, scene radius) follow the
+reference files cited inline.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+from ..math import sampling
+from ..math.vec import Vec3, dot, normalize, where as vwhere
+from ..scene.types import (
+    LIGHT_AREA,
+    LIGHT_BACKGROUND,
+    LIGHT_DIRECTIONAL,
+    LIGHT_POINT,
+    LIGHT_SPOT,
+    SHAPE_BOX,
+    SHAPE_RECT,
+    SHAPE_SPHERE,
+    Lights,
+    Rot3,
+)
+
+BIG = 3.0e38  # python float (see intersect.py)
+SCENE_RADIUS = 30.0  # BackgroundLight.cpp:16 (TODO in reference too)
+
+
+def _gather_vec3(v: Vec3, idx) -> Vec3:
+    return Vec3(v.x[idx], v.y[idx], v.z[idx])
+
+
+class LightSlice(NamedTuple):
+    """One light's params gathered per-ray (after random light pick)."""
+
+    kind: jnp.ndarray
+    color: Vec3
+    rot: Rot3
+    trans: Vec3
+    shape_kind: jnp.ndarray
+    shape_param: Vec3
+    area: jnp.ndarray
+    cos_angle: jnp.ndarray
+    is_delta: jnp.ndarray
+    env_tex: jnp.ndarray
+
+
+def gather_light(lights: Lights, idx) -> LightSlice:
+    return LightSlice(
+        kind=lights.kind[idx],
+        color=_gather_vec3(lights.color, idx),
+        rot=Rot3(
+            _gather_vec3(lights.rot.r0, idx),
+            _gather_vec3(lights.rot.r1, idx),
+            _gather_vec3(lights.rot.r2, idx),
+        ),
+        trans=_gather_vec3(lights.trans, idx),
+        shape_kind=lights.shape_kind[idx],
+        shape_param=_gather_vec3(lights.shape_param, idx),
+        area=lights.area[idx],
+        cos_angle=lights.cos_angle[idx],
+        is_delta=lights.is_delta[idx],
+        env_tex=lights.env_tex[idx],
+    )
+
+
+class Illumination(NamedTuple):
+    """ILight::IlluminateResult (`Light.h:62-69`)."""
+
+    dir_to_light: Vec3
+    distance: jnp.ndarray
+    direct_pdf_w: jnp.ndarray
+    cos_at_light: jnp.ndarray
+    radiance: Vec3
+    valid: jnp.ndarray
+
+
+def _sample_shape_surface(l: LightSlice, u1, u2, u3):
+    """Uniform point + normal on the light's shape, in light-local space
+    (`RectShape.cpp:50-63`, `SphereShape.cpp:47-62`)."""
+    # rect: z=0 plane, normal +Z
+    rx = l.shape_param.x * (2.0 * u1 - 1.0)
+    ry = l.shape_param.y * (2.0 * u2 - 1.0)
+    zero = jnp.zeros_like(u1)
+    rect_p = Vec3(rx, ry, zero)
+    rect_n = Vec3(zero, zero, jnp.ones_like(u1))
+    # sphere: uniform point
+    sph_n = sampling.sample_sphere(u1, u2)
+    sph_p = sph_n * l.shape_param.x
+    is_sphere = l.shape_kind == SHAPE_SPHERE
+    p = vwhere(is_sphere, sph_p, rect_p)
+    n = vwhere(is_sphere, sph_n, rect_n)
+    return p, n
+
+
+def illuminate(l: LightSlice, shading_pos: Vec3, shading_frame_normal: Vec3, u1, u2, u3) -> Illumination:
+    """NEE sample toward one light (ILight::Illuminate for every kind)."""
+    zero = jnp.zeros_like(u1)
+    one = jnp.ones_like(u1)
+
+    # --- point / spot (`PointLight.cpp:35-49`, `SpotLight.cpp:41-61`)
+    to_l = l.trans - shading_pos
+    sqr_d = dot(to_l, to_l)
+    dist_p = jnp.sqrt(jnp.maximum(sqr_d, 1e-20))
+    dir_p = to_l * (1.0 / dist_p)
+    pdf_point = sqr_d  # directPdfW = d^2 (delta light; cancels the 1/d^2)
+    # spot cone test about the light's local +Z axis (Emit uses +Z,
+    # `SpotLight.cpp:63-96`; Illuminate's world -Z is a reference quirk we fix)
+    spot_axis = l.rot.r2
+    spot_cos = dot(-dir_p, spot_axis)
+    spot_ok = spot_cos >= l.cos_angle
+
+    # --- area (`AreaLight.cpp:42-105` solid-angle=False path via IShape::Sample,
+    #     `Shape.cpp:65-93`)
+    p_local, n_local = _sample_shape_surface(l, u1, u2, u3)
+    p_world = l.rot.to_world(p_local) + l.trans
+    n_world = l.rot.to_world(n_local)
+    to_a = p_world - shading_pos
+    sqr_da = dot(to_a, to_a)
+    dist_a = jnp.sqrt(jnp.maximum(sqr_da, 1e-20))
+    dir_a = to_a * (1.0 / dist_a)
+    cos_at = dot(n_world, -dir_a)  # light emits along its normal
+    inv_area = 1.0 / jnp.maximum(l.area, 1e-8)
+    pdf_area = inv_area * sqr_da / jnp.maximum(cos_at, 1e-4)
+    area_ok = cos_at > 1e-7
+
+    # --- background (`BackgroundLight.cpp:63-74`): uniform hemisphere about
+    #     the shading normal
+    h_local = sampling.sample_hemisphere(u1, u2)
+    t, b = sampling.build_onb(shading_frame_normal)
+    dir_bg = sampling.local_to_world(h_local, t, b, shading_frame_normal)
+    pdf_bg = jnp.full_like(u1, sampling.uniform_hemisphere_pdf())
+
+    # --- directional (`DirectionalLight.cpp:48-89`): cone about local -Z
+    cone = sampling.sample_cone(l.cos_angle, u1, u2)
+    # TransformVectorNeg: dir to light = -(local dir in world)
+    dir_dl_wide = -(l.rot.r0 * cone.x + l.rot.r1 * cone.y + l.rot.r2 * cone.z)
+    is_delta_dl = l.cos_angle > 0.9999
+    dir_dl = vwhere(is_delta_dl, -l.rot.r2, dir_dl_wide)
+    pdf_dl = jnp.where(is_delta_dl, 1.0, sampling.sphere_cap_pdf(l.cos_angle))
+
+    is_point = l.kind == LIGHT_POINT
+    is_spot = l.kind == LIGHT_SPOT
+    is_area = l.kind == LIGHT_AREA
+    is_bg = l.kind == LIGHT_BACKGROUND
+    is_dl = l.kind == LIGHT_DIRECTIONAL
+
+    dir_to_light = vwhere(
+        is_area, dir_a,
+        vwhere(is_bg, dir_bg, vwhere(is_dl, dir_dl, dir_p)),
+    )
+    distance = jnp.select(
+        [is_area, is_bg, is_dl], [dist_a, jnp.full_like(u1, BIG), jnp.full_like(u1, BIG)], dist_p
+    )
+    direct_pdf_w = jnp.select(
+        [is_area, is_bg, is_dl], [pdf_area, pdf_bg, pdf_dl], pdf_point
+    )
+    cos_at_light = jnp.select([is_area], [cos_at], one)
+    valid = jnp.select(
+        [is_area, is_spot], [area_ok, spot_ok], jnp.ones_like(u1, bool)
+    ).astype(bool)
+    radiance = l.color  # env texture modulation handled by caller for bg lights
+    return Illumination(
+        dir_to_light=dir_to_light,
+        distance=distance,
+        direct_pdf_w=direct_pdf_w,
+        cos_at_light=cos_at_light,
+        radiance=radiance,
+        valid=valid,
+    )
+
+
+def area_light_radiance(l: LightSlice, ray_dir: Vec3, hit_normal: Vec3):
+    """GetRadiance for an area light hit by a camera/BSDF ray
+    (`AreaLight.cpp:107-140` with solid-angle pdf via `Shape::Pdf`).
+
+    Returns (radiance, direct_pdf_a, valid). pdf is in AREA measure; the
+    integrator converts with PdfAtoW (`PathTracerMIS.cpp:196-200`).
+    """
+    cos_at_light = dot(hit_normal, -ray_dir)
+    valid = cos_at_light > 1e-7
+    inv_area = 1.0 / jnp.maximum(l.area, 1e-8)
+    # rect/box use 1/area; sphere uses cone pdf converted to area
+    # (`SphereShape.cpp:108-124`)
+    pdf_a = inv_area
+    return l.color, pdf_a, valid
+
+
+def background_radiance(lights: Lights, light_idx: int, ray_dir: Vec3):
+    """Background light color for a ray direction (GetBackgroundColor,
+    `BackgroundLight.cpp:45-61`). Environment texture handled by caller."""
+    l = gather_light(lights, jnp.full_like(ray_dir.x, light_idx, jnp.int32))
+    return l.color

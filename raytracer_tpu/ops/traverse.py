@@ -1,0 +1,48 @@
+"""Unified scene traversal: analytic prims + (optional) triangle-mesh BVH.
+
+The analogue of `Scene::Traverse` / `Scene::Traverse_Shadow`
+(`Core/Scene/Scene.cpp:219-261`): closest hit across all geometry kinds, and
+an any-hit occlusion query for shadow rays.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from ..math.vec import Vec3
+from ..scene.types import SceneData
+from .intersect import BIG, Hits, intersect_prims
+
+
+def scene_traverse(scene: SceneData, origin: Vec3, direction: Vec3, t_max=None) -> Hits:
+    n = origin.x.shape
+    if t_max is None:
+        t_max = jnp.full(n, BIG)
+    t_p, pid = intersect_prims(scene.prims, origin, direction, t_max)
+
+    if scene.tris is not None and scene.bvh is not None:
+        from .bvh_traverse import bvh_closest_hit
+
+        t_t, tid, tu, tv = bvh_closest_hit(scene.bvh, scene.tris, origin, direction, jnp.minimum(t_p, t_max))
+        tri_closer = t_t < t_p
+        return Hits(
+            t=jnp.where(tri_closer, t_t, t_p),
+            prim_id=jnp.where(tri_closer, -1, pid),
+            tri_id=jnp.where(tri_closer, tid, -1),
+            u=jnp.where(tri_closer, tu, 0.0),
+            v=jnp.where(tri_closer, tv, 0.0),
+        )
+
+    zeros = jnp.zeros(n, jnp.float32)
+    return Hits(t=t_p, prim_id=pid, tri_id=jnp.full(n, -1, jnp.int32), u=zeros, v=zeros)
+
+
+def scene_occluded(scene: SceneData, origin: Vec3, direction: Vec3, t_max) -> jnp.ndarray:
+    """Any-hit shadow query (`Scene.cpp:245-261`)."""
+    t_p, _ = intersect_prims(scene.prims, origin, direction, t_max)
+    occ = t_p < t_max
+    if scene.tris is not None and scene.bvh is not None:
+        from .bvh_traverse import bvh_any_hit
+
+        occ = occ | bvh_any_hit(scene.bvh, scene.tris, origin, direction, t_max)
+    return occ

@@ -1,0 +1,169 @@
+"""Multi-chip rendering: shard the pixel axis over a device mesh.
+
+The reference's only concurrency boundary is a shared-memory thread pool over
+image tiles (`Core/Utils/ThreadPool.h:16-58`, `Viewport.cpp:227-261`).  The
+TPU-native equivalent (SURVEY §2.9 P3):
+
+- 1-D mesh axis ``"tiles"`` over all chips (extendable to ("hosts", "chips")
+  with `jax.distributed` multi-controller init);
+- the scene pytree (BVH + triangles + materials + lights ≈ tens of MB) is
+  REPLICATED per chip — it fits HBM easily, like the reference keeping the
+  scene shared across threads;
+- the film is SHARDED by pixel rows; each device renders and accumulates its
+  own band, so a render pass needs NO collectives at all (film reduction is
+  free: accumulation is local);
+- scene-parameter gradients (differentiable rendering) are partial sums per
+  device; `shard_map` + `psum` over "tiles" reduces them over ICI — the
+  analogue of merging per-thread contexts (`Viewport.cpp:282-287`), but in
+  hardware;
+- per-device sample streams need no coordination: samples are pure hashes of
+  *global* pixel id, so N-chip and 1-chip renders are bit-identical.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..integrators.path_tracer import RenderParams, trace_radiance
+from ..render.film import Film
+from ..render.renderer import ViewportParams, trace_rows
+from ..scene.camera import Camera
+from ..scene.types import SceneData, SceneMeta
+
+AXIS = "tiles"
+
+
+def make_mesh(devices=None) -> Mesh:
+    """1-D device mesh over the pixel-band axis."""
+    devices = devices if devices is not None else jax.devices()
+    return Mesh(devices, (AXIS,))
+
+
+def film_sharding(mesh: Mesh) -> Film:
+    """Sharding pytree for a Film: images sharded by rows, counters replicated."""
+    img = NamedSharding(mesh, P(AXIS, None, None))
+    rep = NamedSharding(mesh, P())
+    return Film(sum=img, secondary_sum=img, num_passes=rep, num_secondary_passes=rep)
+
+
+def render_pass_sharded(
+    scene: SceneData,
+    meta: SceneMeta,
+    cam: Camera,
+    film: Film,
+    pass_idx: jnp.ndarray,
+    halton,
+    vp: ViewportParams,
+    params: RenderParams,
+    mesh: Mesh,
+):
+    """One accumulation pass with the pixel-row axis sharded over ``mesh``.
+
+    Each device traces its own horizontal band (static shapes; band height =
+    H / n_devices) and accumulates into its local film shard.  No collective
+    is emitted — ICI stays free for gradient psums in the training path.
+    """
+    n_dev = mesh.shape[AXIS]
+    assert vp.height % n_dev == 0, f"height {vp.height} % devices {n_dev} != 0"
+    rows_per = vp.height // n_dev
+    film_spec = Film(P(AXIS, None, None), P(AXIS, None, None), P(), P())
+    has_halton = halton is not None
+    halton_operands = (halton,) if has_halton else ()
+    halton_specs = (P(),) if has_halton else ()
+
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(), P(), film_spec, P()) + halton_specs,
+        out_specs=film_spec,
+        check_vma=False,
+    )
+    def shard_fn(scene, cam, film_shard, pass_idx, *maybe_halton):
+        band = jax.lax.axis_index(AXIS)
+        row0 = band * rows_per
+        h = maybe_halton[0] if maybe_halton else None
+        radiance, _counters = trace_rows(
+            scene, meta, cam, pass_idx, h, vp, params, rows=rows_per, row0=row0
+        )
+        frame = jnp.stack(
+            [
+                radiance.x.reshape(rows_per, vp.width),
+                radiance.y.reshape(rows_per, vp.width),
+                radiance.z.reshape(rows_per, vp.width),
+            ],
+            axis=-1,
+        )
+        use_secondary = pass_idx % 2 == 0
+        return Film(
+            sum=film_shard.sum + frame,
+            secondary_sum=jnp.where(use_secondary, film_shard.secondary_sum + frame, film_shard.secondary_sum),
+            num_passes=film_shard.num_passes + 1,
+            num_secondary_passes=film_shard.num_secondary_passes + use_secondary.astype(jnp.int32),
+        )
+
+    return shard_fn(scene, cam, film, pass_idx, *halton_operands)
+
+
+def train_step_sharded(
+    scene: SceneData,
+    meta: SceneMeta,
+    cam: Camera,
+    target: jnp.ndarray,  # (H, W, 3) reference image
+    pass_idx: jnp.ndarray,
+    vp: ViewportParams,
+    params: RenderParams,
+    mesh: Mesh,
+):
+    """Differentiable-rendering step: per-device band loss, psum'd gradients.
+
+    Returns (loss, grads w.r.t. (base_color, emission, roughness)) — the
+    pattern for inverse rendering at scale: forward+backward wavefront per
+    band, gradient reduction over ICI (the 'merge per-thread results'
+    analogue, `Viewport.cpp:282-287`)."""
+    n_dev = mesh.shape[AXIS]
+    rows_per = vp.height // n_dev
+
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(), P(), P(AXIS, None, None), P()),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    def shard_fn(scene, cam, target_band, pass_idx):
+        band = jax.lax.axis_index(AXIS)
+        row0 = band * rows_per
+
+        def loss_fn(mat_params):
+            base_color, emission, roughness = mat_params
+            materials = scene.materials._replace(
+                base_color=base_color, emission=emission, roughness=roughness
+            )
+            s = scene._replace(materials=materials)
+            radiance, _ = trace_rows(
+                s, meta, cam, pass_idx, None, vp, params, rows=rows_per, row0=row0
+            )
+            img = jnp.stack(
+                [
+                    radiance.x.reshape(rows_per, vp.width),
+                    radiance.y.reshape(rows_per, vp.width),
+                    radiance.z.reshape(rows_per, vp.width),
+                ],
+                axis=-1,
+            )
+            # local sum-of-squares; normalized by the GLOBAL pixel count
+            return jnp.sum((img - target_band) ** 2) / (vp.width * vp.height * 3)
+
+        # differentiable material parameters only (int kind/texture ids are
+        # discrete structure)
+        m = scene.materials
+        loss, grads = jax.value_and_grad(loss_fn)((m.base_color, m.emission, m.roughness))
+        loss = jax.lax.psum(loss, AXIS)
+        grads = jax.lax.psum(grads, AXIS)
+        return loss, grads
+
+    return shard_fn(scene, cam, target, pass_idx)

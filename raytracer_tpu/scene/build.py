@@ -1,0 +1,267 @@
+"""Host-side scene construction: python objects -> flat device arrays.
+
+Mirrors the role of ``Scene::BuildBVH`` + ``SceneLoader`` in the reference
+(`Core/Scene/Scene.cpp:36-126`): classify objects into traceable prims vs
+lights vs global lights, flatten parameters, and upload SoA arrays.
+"""
+
+from __future__ import annotations
+
+import math as _math
+from dataclasses import dataclass, field
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..math.transform import RigidTransform
+from ..math.vec import Vec3
+from . import types as T
+
+
+@dataclass
+class MaterialDesc:
+    name: str = "default"
+    bsdf: str = "diffuse"
+    base_color: tuple = (0.7, 0.7, 0.7)
+    emission: tuple = (0.0, 0.0, 0.0)
+    roughness: float = 0.1
+    metalness: float = 0.0
+    ior: float = 1.5
+    k: float = 4.0
+    base_color_tex: int = T.INVALID_ID
+    emission_tex: int = T.INVALID_ID
+    roughness_tex: int = T.INVALID_ID
+    metalness_tex: int = T.INVALID_ID
+    normal_tex: int = T.INVALID_ID
+    mask_tex: int = T.INVALID_ID
+    normal_strength: float = 1.0
+
+
+@dataclass
+class PrimDesc:
+    kind: int  # PRIM_*
+    transform: RigidTransform
+    param: tuple  # (radius,0,0) or half-size
+    material_id: int
+    light_id: int = T.INVALID_ID
+
+
+@dataclass
+class LightDesc:
+    kind: int  # LIGHT_*
+    color: tuple
+    transform: RigidTransform = field(default_factory=RigidTransform)
+    shape_kind: int = T.SHAPE_RECT
+    shape_param: tuple = (0.5, 0.5, 0.0)
+    angle_rad: float = 0.0  # spot / directional cone half-angle
+    env_tex: int = T.INVALID_ID
+
+    def surface_area(self) -> float:
+        sx, sy, sz = self.shape_param
+        if self.shape_kind == T.SHAPE_RECT:
+            return 4.0 * sx * sy  # RectShape::GetSurfaceArea
+        if self.shape_kind == T.SHAPE_SPHERE:
+            return 4.0 * _math.pi * sx * sx
+        if self.shape_kind == T.SHAPE_BOX:
+            return 8.0 * (sx * sy + sy * sz + sz * sx)
+        return 0.0
+
+    def flags(self) -> tuple[bool, bool]:
+        """(is_delta, is_finite) per `Core/Scene/Light/*::GetFlags`."""
+        cos_eps = 0.9999
+        if self.kind == T.LIGHT_AREA:
+            return False, True
+        if self.kind == T.LIGHT_BACKGROUND:
+            return False, False
+        if self.kind == T.LIGHT_POINT:
+            return True, True
+        if self.kind == T.LIGHT_SPOT:
+            delta = _math.cos(self.angle_rad) > cos_eps
+            return delta, True
+        if self.kind == T.LIGHT_DIRECTIONAL:
+            delta = _math.cos(self.angle_rad) > cos_eps
+            return delta, False
+        raise ValueError(self.kind)
+
+
+def _vec3_np(rows: list, idx) -> Vec3:
+    a = np.asarray(rows, dtype=np.float32).reshape(-1, 3)
+    return Vec3(jnp.asarray(a[:, 0]), jnp.asarray(a[:, 1]), jnp.asarray(a[:, 2]))
+
+
+def _rot3(transforms: list[RigidTransform]) -> T.Rot3:
+    rows = np.stack([t.rot for t in transforms], 0).astype(np.float32) if transforms else np.zeros((0, 3, 3), np.float32)
+    mk = lambda i: Vec3(jnp.asarray(rows[:, i, 0]), jnp.asarray(rows[:, i, 1]), jnp.asarray(rows[:, i, 2]))
+    return T.Rot3(mk(0), mk(1), mk(2))
+
+
+class SceneBuilder:
+    """Accumulates scene content then freezes to a SceneData pytree."""
+
+    def __init__(self):
+        self.materials: list[MaterialDesc] = []
+        self.prims: list[PrimDesc] = []
+        self.lights: list[LightDesc] = []
+        self._mat_index: dict[str, int] = {}
+        # mesh triangle accumulation (world space)
+        self._tri_v = []  # (n,3,3) vertex positions
+        self._tri_n = []  # (n,3,3) vertex normals
+        self._tri_uv = []  # (n,3,2)
+        self._tri_mat = []  # (n,)
+        self.textures = None  # set by loader when bitmap textures exist
+
+    # --- materials -------------------------------------------------------------
+    def add_material(self, desc: MaterialDesc) -> int:
+        idx = len(self.materials)
+        self.materials.append(desc)
+        if desc.name:
+            self._mat_index[desc.name] = idx
+        return idx
+
+    def material_id(self, name: str) -> int:
+        if name not in self._mat_index:
+            raise KeyError(f"unknown material '{name}'")
+        return self._mat_index[name]
+
+    def default_material_id(self) -> int:
+        if "__default__" not in self._mat_index:
+            return self.add_material(MaterialDesc(name="__default__"))
+        return self._mat_index["__default__"]
+
+    # --- geometry ----------------------------------------------------------------
+    def add_sphere(self, transform: RigidTransform, radius: float, material_id: int, light_id=T.INVALID_ID):
+        self.prims.append(PrimDesc(T.PRIM_SPHERE, transform, (radius, 0.0, 0.0), material_id, light_id))
+
+    def add_box(self, transform: RigidTransform, half_size, material_id: int, light_id=T.INVALID_ID):
+        self.prims.append(PrimDesc(T.PRIM_BOX, transform, tuple(half_size), material_id, light_id))
+
+    def add_rect(self, transform: RigidTransform, half_size2, material_id: int, light_id=T.INVALID_ID):
+        sx, sy = half_size2
+        self.prims.append(PrimDesc(T.PRIM_RECT, transform, (sx, sy, 0.0), material_id, light_id))
+
+    def add_mesh(self, vertices, indices, normals, uvs, material_ids, transform: RigidTransform | None = None):
+        """Add a triangle mesh. vertices (V,3), indices (F,3), normals (V,3),
+        uvs (V,2), material_ids (F,). Pre-transformed to world space (the
+        TPU design flattens instances; cf. two-level BVH `Scene.cpp:128-145`)."""
+        vertices = np.asarray(vertices, np.float64)
+        normals = np.asarray(normals, np.float64)
+        if transform is not None:
+            vertices = vertices * transform.scale @ transform.rot + transform.translation
+            normals = normals @ transform.rot
+        indices = np.asarray(indices, np.int64)
+        tri_v = vertices[indices]  # (F,3,3)
+        tri_n = normals[indices]
+        tri_uv = np.asarray(uvs, np.float64)[indices] if uvs is not None else np.zeros((len(indices), 3, 2))
+        self._tri_v.append(tri_v)
+        self._tri_n.append(tri_n)
+        self._tri_uv.append(tri_uv)
+        self._tri_mat.append(np.asarray(material_ids, np.int64))
+
+    # --- lights ------------------------------------------------------------------
+    def add_light(self, desc: LightDesc) -> int:
+        light_id = len(self.lights)
+        self.lights.append(desc)
+        # finite area lights are hit-testable scene geometry
+        # (`SceneObject_Light.cpp:27-53`)
+        if desc.kind == T.LIGHT_AREA:
+            null_mat = self._light_material_id()
+            prim_kind = {T.SHAPE_RECT: T.PRIM_RECT, T.SHAPE_SPHERE: T.PRIM_SPHERE, T.SHAPE_BOX: T.PRIM_BOX}[desc.shape_kind]
+            self.prims.append(PrimDesc(prim_kind, desc.transform, tuple(desc.shape_param), null_mat, light_id))
+        return light_id
+
+    def _light_material_id(self) -> int:
+        if "__light__" not in self._mat_index:
+            return self.add_material(MaterialDesc(name="__light__", bsdf="null", base_color=(0, 0, 0)))
+        return self._mat_index["__light__"]
+
+    # --- freeze --------------------------------------------------------------------
+    def build(self) -> T.SceneData:
+        if not self.materials:
+            self.default_material_id()
+        mats = self.materials
+        materials = T.Materials(
+            bsdf=jnp.asarray([T.BSDF_NAMES[m.bsdf] for m in mats], jnp.int32),
+            base_color=_vec3_np([m.base_color for m in mats], None),
+            emission=_vec3_np([m.emission for m in mats], None),
+            roughness=jnp.asarray([m.roughness for m in mats], jnp.float32),
+            metalness=jnp.asarray([m.metalness for m in mats], jnp.float32),
+            ior=jnp.asarray([m.ior for m in mats], jnp.float32),
+            k=jnp.asarray([m.k for m in mats], jnp.float32),
+            base_color_tex=jnp.asarray([m.base_color_tex for m in mats], jnp.int32),
+            emission_tex=jnp.asarray([m.emission_tex for m in mats], jnp.int32),
+            roughness_tex=jnp.asarray([m.roughness_tex for m in mats], jnp.int32),
+            metalness_tex=jnp.asarray([m.metalness_tex for m in mats], jnp.int32),
+            normal_tex=jnp.asarray([m.normal_tex for m in mats], jnp.int32),
+            mask_tex=jnp.asarray([m.mask_tex for m in mats], jnp.int32),
+            normal_strength=jnp.asarray([m.normal_strength for m in mats], jnp.float32),
+        )
+
+        prim_list = self.prims
+        if not prim_list:
+            # a radius-0 sphere can never be hit (discriminant <= 0); keeps
+            # every gather shape static without special empty-scene kernels
+            prim_list = [
+                PrimDesc(T.PRIM_SPHERE, RigidTransform(), (0.0, 0.0, 0.0), 0)
+            ]
+        prims = T.Primitives(
+            kind=jnp.asarray([p.kind for p in prim_list], jnp.int32),
+            rot=_rot3([p.transform for p in prim_list]),
+            trans=_vec3_np([tuple(p.transform.translation) for p in prim_list], None),
+            param=_vec3_np([p.param for p in prim_list], None),
+            material_id=jnp.asarray([p.material_id for p in prim_list], jnp.int32),
+            light_id=jnp.asarray([p.light_id for p in prim_list], jnp.int32),
+        )
+
+        lights = self._build_lights()
+        tris, bvh = self._build_tris()
+        scene = T.SceneData(prims=prims, tris=tris, bvh=bvh, materials=materials, lights=lights, textures=self.textures)
+        meta = self._build_meta()
+        return scene, meta
+
+    def _build_meta(self) -> T.SceneMeta:
+        ls = self.lights if self.lights else []
+        kinds = tuple(l.kind for l in ls) if ls else (T.LIGHT_POINT,)
+        deltas = tuple(l.flags()[0] for l in ls) if ls else (True,)
+        bg = next((i for i, l in enumerate(ls) if l.kind == T.LIGHT_BACKGROUND), -1)
+        return T.SceneMeta(
+            light_kinds=kinds,
+            light_is_delta=deltas,
+            n_lights=len(ls),
+            background_light_index=bg,
+        )
+
+    def _build_lights(self) -> T.Lights:
+        ls = self.lights
+        if not ls:
+            # one dummy light keeps shapes static; flagged so it never samples
+            ls = [LightDesc(kind=T.LIGHT_POINT, color=(0.0, 0.0, 0.0))]
+            dummy = True
+        else:
+            dummy = False
+        flags = [l.flags() for l in ls]
+        lights = T.Lights(
+            kind=jnp.asarray([l.kind for l in ls], jnp.int32),
+            color=_vec3_np([l.color for l in ls], None),
+            rot=_rot3([l.transform for l in ls]),
+            trans=_vec3_np([tuple(l.transform.translation) for l in ls], None),
+            shape_kind=jnp.asarray([l.shape_kind for l in ls], jnp.int32),
+            shape_param=_vec3_np([l.shape_param for l in ls], None),
+            area=jnp.asarray([l.surface_area() for l in ls], jnp.float32),
+            cos_angle=jnp.asarray([_math.cos(l.angle_rad) for l in ls], jnp.float32),
+            is_delta=jnp.asarray([f[0] for f in flags], bool),
+            is_finite=jnp.asarray([f[1] for f in flags], bool),
+            env_tex=jnp.asarray([l.env_tex for l in ls], jnp.int32),
+        )
+        self.n_real_lights = 0 if dummy else len(self.lights)
+        return lights
+
+    def _build_tris(self):
+        if not self._tri_v:
+            return None, None
+        from .bvh import build_bvh_over_triangles
+
+        tri_v = np.concatenate(self._tri_v, 0).astype(np.float32)
+        tri_n = np.concatenate(self._tri_n, 0).astype(np.float32)
+        tri_uv = np.concatenate(self._tri_uv, 0).astype(np.float32)
+        tri_mat = np.concatenate(self._tri_mat, 0).astype(np.int32)
+        return build_bvh_over_triangles(tri_v, tri_n, tri_uv, tri_mat)
