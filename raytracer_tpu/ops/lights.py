@@ -196,3 +196,88 @@ def background_radiance(lights: Lights, light_idx: int, ray_dir: Vec3):
     `BackgroundLight.cpp:45-61`). Environment texture handled by caller."""
     l = gather_light(lights, jnp.full_like(ray_dir.x, light_idx, jnp.int32))
     return l.color
+
+
+class Emission(NamedTuple):
+    """ILight::EmitResult (`Light.h:88-100`) + pre-divided throughput."""
+
+    position: Vec3
+    direction: Vec3
+    emission_pdf_w: jnp.ndarray
+    direct_pdf_a: jnp.ndarray
+    cos_at_light: jnp.ndarray
+    radiance: Vec3  # color term (NOT yet divided by emission pdf)
+
+
+def emit(l: LightSlice, u1, u2, u3, u4, u5) -> Emission:
+    """Photon emission sampling for every light kind (ILight::Emit):
+    `PointLight.cpp`, `SpotLight.cpp:63-96`, `AreaLight.cpp` (cos-hemisphere
+    from a uniform surface point), `DirectionalLight.cpp`,
+    `BackgroundLight.cpp` (inward from the scene bounding sphere)."""
+    one = jnp.ones_like(u1)
+
+    # --- point: uniform sphere direction, pdf 1/4pi
+    dir_point = sampling.sample_sphere(u1, u2)
+    pdf_point = jnp.full_like(u1, sampling.uniform_sphere_pdf())
+
+    # --- spot: uniform cone about local +Z (`SpotLight.cpp:63-96`)
+    cone = sampling.sample_cone(l.cos_angle, u1, u2)
+    dir_spot = l.rot.to_world(cone)
+    pdf_spot = sampling.sphere_cap_pdf(jnp.minimum(l.cos_angle, 1.0 - 1e-6))
+
+    # --- area: uniform surface point + cosine hemisphere about the normal
+    p_local, n_local = _sample_shape_surface(l, u3, u4, u5)
+    p_area = l.rot.to_world(p_local) + l.trans
+    n_world = l.rot.to_world(n_local)
+    t, b = sampling.build_onb(n_world)
+    h = sampling.sample_hemisphere_cos(u1, u2)
+    dir_area = sampling.local_to_world(h, t, b, n_world)
+    cos_area = h.z
+    inv_area = 1.0 / jnp.maximum(l.area, 1e-8)
+    pdf_area_e = inv_area * jnp.maximum(cos_area, 1e-6) / jnp.pi
+
+    # --- directional: from a disc on the scene bounding sphere
+    cx, cy = sampling.sample_circle(u3, u4)
+    dl_dir_local = sampling.sample_cone(l.cos_angle, u1, u2)
+    dir_dl = -(l.rot.to_world(dl_dir_local))
+    du, dv = sampling.build_onb(dir_dl)
+    pos_dl = (du * cx + dv * cy - dir_dl) * SCENE_RADIUS
+    pdf_dl_dir = jnp.where(
+        l.cos_angle > 0.9999, 1.0, sampling.sphere_cap_pdf(jnp.minimum(l.cos_angle, 1.0 - 1e-6))
+    )
+    pdf_dl = pdf_dl_dir * sampling.uniform_circle_pdf(SCENE_RADIUS)
+
+    # --- background: inward from the bounding sphere
+    dir_bg = sampling.sample_sphere(u1, u2)
+    bu, bv = sampling.build_onb(dir_bg)
+    pos_bg = (bu * cx + bv * cy - dir_bg) * SCENE_RADIUS
+    pdf_bg = sampling.uniform_sphere_pdf() * sampling.uniform_circle_pdf(SCENE_RADIUS)
+
+    is_area = l.kind == LIGHT_AREA
+    is_bg = l.kind == LIGHT_BACKGROUND
+    is_dl = l.kind == LIGHT_DIRECTIONAL
+    is_spot = l.kind == LIGHT_SPOT
+
+    position = vwhere(is_area, p_area, vwhere(is_bg, pos_bg, vwhere(is_dl, pos_dl, l.trans)))
+    direction = vwhere(
+        is_area, dir_area,
+        vwhere(is_bg, dir_bg, vwhere(is_dl, dir_dl, vwhere(is_spot, dir_spot, dir_point))),
+    )
+    emission_pdf = jnp.select(
+        [is_area, is_bg, is_dl, is_spot], [pdf_area_e, pdf_bg, pdf_dl, pdf_spot], pdf_point
+    )
+    direct_pdf_a = jnp.select(
+        [is_area, is_bg], [inv_area, jnp.full_like(u1, sampling.uniform_hemisphere_pdf())], one
+    )
+    cos_at = jnp.where(is_area, cos_area, 1.0)
+    # area lights emit radiance * cos into the hemisphere (`AreaLight.cpp` Emit
+    # returns color * cosAtLight)
+    radiance = l.color * jnp.where(is_area, jnp.maximum(cos_area, 0.0), 1.0)
+    return Emission(
+        position=position,
+        direction=direction,
+        emission_pdf_w=jnp.maximum(emission_pdf, 1e-12),
+        direct_pdf_a=direct_pdf_a,
+        cos_at_light=cos_at,
+        radiance=radiance,
+    )

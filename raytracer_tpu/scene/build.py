@@ -35,6 +35,7 @@ class MaterialDesc:
     normal_tex: int = T.INVALID_ID
     mask_tex: int = T.INVALID_ID
     normal_strength: float = 1.0
+    dispersive: bool = False  # Sellmeier dispersion (spectral mode only)
 
 
 @dataclass

@@ -244,15 +244,37 @@ class Camera:
     enable_distortion: bool = _dc.field(default=False, metadata={"static": True})
 
 
-class TextureAtlas(NamedTuple):
-    """All bitmap textures packed into one (H_atlas, W, 3) array + per-texture
-    metadata rows. INVALID_ID-free gather-friendly layout; see textures.py."""
+# texture kinds (`Core/Textures/*`): bitmap / checkerboard / simplex-noise /
+# mix(A,B,weight) / constant
+TEX_BITMAP = 0
+TEX_CHECKERBOARD = 1
+TEX_NOISE = 2
+TEX_MIX = 3
+TEX_CONST = 4
 
-    data: jnp.ndarray  # (rows, W, 3) f32 linear
-    y0: jnp.ndarray  # (K,) int32 first row of texture k
+
+class TextureAtlas(NamedTuple):
+    """The whole texture system as one SoA table (K textures).
+
+    Bitmaps are packed row-wise into ONE (rows, W_atlas, 3) array so a
+    per-ray fetch is a single 2-D gather regardless of which texture each ray
+    addresses; procedural textures (checkerboard `CheckerboardTexture.cpp`,
+    simplex-noise FBM `NoiseTexture.cpp`, mix `MixTexture.h`) are evaluated
+    inline, branchlessly selected by per-texture integer ``kind``.
+    """
+
+    data: jnp.ndarray  # (rows, W, 3) f32 linear — packed bitmap storage
+    y0: jnp.ndarray  # (K,) int32 first row of texture k (bitmaps)
     height: jnp.ndarray  # (K,) int32
     width: jnp.ndarray  # (K,) int32
     filter_mode: jnp.ndarray  # (K,) int32: 0 nearest, 1 bilinear, 2 bilinear-smoothstep
+    kind: jnp.ndarray  # (K,) int32: TEX_*
+    color_a: Vec3  # (K,) checkerboard/noise color A, const color
+    color_b: Vec3  # (K,) color B
+    octaves: jnp.ndarray  # (K,) int32 noise FBM octaves
+    sub_a: jnp.ndarray  # (K,) int32 mix input A texture id
+    sub_b: jnp.ndarray  # (K,) int32 mix input B texture id
+    sub_w: jnp.ndarray  # (K,) int32 mix weight texture id
 
 
 class SceneData(NamedTuple):
