@@ -65,6 +65,7 @@ def main(argv=None) -> int:
 
     name = args.renderer.lower()
     light_tracer = False
+    vcm_mode = False
     if name in ("path tracer", "pathtracer", "pt"):
         params = RenderParams(max_depth=args.max_depth, mis=False)
     elif name in ("path tracer mis", "pt-mis", "mis"):
@@ -72,9 +73,12 @@ def main(argv=None) -> int:
     elif name in ("light tracer", "lighttracer", "lt"):
         params = RenderParams(max_depth=args.max_depth, mis=True)
         light_tracer = True
+    elif name == "vcm":
+        params = RenderParams(max_depth=args.max_depth, mis=True)
+        vcm_mode = True
     else:
         print(f"error: unknown renderer '{args.renderer}' "
-              "(available: 'Path Tracer', 'Path Tracer MIS', 'Light Tracer')",
+              "(available: 'Path Tracer', 'Path Tracer MIS', 'Light Tracer', 'VCM')",
               file=sys.stderr)
         return 2
 
@@ -86,7 +90,21 @@ def main(argv=None) -> int:
     )
 
     t0 = time.perf_counter()
-    if light_tracer:
+    if vcm_mode:
+        import jax as _jax
+        import jax.numpy as jnp
+
+        from .integrators.vcm import VcmParams, render_pass_vcm
+
+        vcm = VcmParams(max_path_length=min(args.max_depth, 10))
+        vfn = _jax.jit(
+            lambda s, c, f, p: render_pass_vcm(
+                s, meta, c, f, p, None, vp.vp_params, params, vcm
+            )
+        )
+        for i in range(args.passes):
+            vp.film = vfn(scene, cam, vp.film, jnp.int32(i))
+    elif light_tracer:
         import jax as _jax
         import jax.numpy as jnp
 

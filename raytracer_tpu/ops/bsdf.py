@@ -369,3 +369,14 @@ def evaluate(mp: MatParams, wo: Vec3, wi: Vec3) -> tuple[Vec3, jnp.ndarray]:
     )
     pdf = jnp.select(conds, [jnp.where(m_, p, 0.0) for m_, p in zip(masks, pdf_vals)], zero)
     return f, pdf
+
+
+def evaluate_with_rev(mp: MatParams, wo: Vec3, wi: Vec3):
+    """evaluate() plus the REVERSE pdf (probability of sampling ``wo`` when
+    shading from ``wi``) — needed by bidirectional MIS (`BSDF.h:101-104`,
+    used in `VertexConnectionAndMerging.cpp` AdvancePath/ConnectVertices).
+    Implemented by role-swapping the forward pdf; XLA dead-code-eliminates
+    the unused second f."""
+    f, pdf = evaluate(mp, wo, wi)
+    _, rev = evaluate(mp, wi, wo)
+    return f, pdf, rev

@@ -9,10 +9,15 @@ Design (see `scene/bvh.py` and `types.BVHFlat`):
   replaces both the reference's per-thread stack and its near-child-first
   ordering heuristic (`Traversal_Single.h:65-75`) — ordering is baked into
   the octant's links.
-- The whole wavefront steps in lock-step inside a `lax.while_loop`; rays
-  that finished park on node == -1.  This is the SIMT analogue of the
-  reference's packet compaction (`Traversal_Packet.cpp:8-56`): inactive
-  lanes are masked rather than compacted (XLA-friendly static shapes).
+- The whole wavefront steps in lock-step inside a `lax.fori_loop` with a
+  STATIC step budget; rays that finished park on node == -1 and are masked.
+  This is the SIMT analogue of the reference's packet compaction
+  (`Traversal_Packet.cpp:8-56`).  A while_loop would terminate as soon as
+  every lane finishes, but XLA-TPU compiles gathers inside while_loop
+  pathologically slowly (~10 s of compile time PER GATHER, measured on
+  jax 0.9/v5e — 325 s for one gather loop vs 0.7 s as fori_loop), so the
+  budgeted fori is both compile-sane and, with the budget set to the node
+  count (exact worst case), bit-identical in results.
 - Leaves have a static LEAF_SIZE triangle slots (padded with degenerate
   triangles), so every loop iteration does: one node-row gather, one
   ray-box slab test, LEAF_SIZE Möller-Trumbore tests (masked), two link
@@ -96,7 +101,12 @@ class _WalkState(NamedTuple):
     tri: jnp.ndarray  # (N,) int32 best (reordered) triangle id, -1 = miss
     u: jnp.ndarray
     v: jnp.ndarray
-    steps: jnp.ndarray  # () traversal-step counter (perf observability)
+
+
+# hard cap on traversal steps for very deep trees; per-scene budget is
+# min(num_nodes, cap).  Node counts above the cap could in principle truncate
+# pathological rays — raise via env/config when that ever matters.
+MAX_TRAVERSAL_STEPS = 8192
 
 
 def _safe_inv(d: Vec3) -> Vec3:
@@ -111,13 +121,16 @@ def _safe_inv(d: Vec3) -> Vec3:
 def _bvh_closest_hit_impl(
     bvh: BVHFlat, tris: Triangles, origin: Vec3, direction: Vec3, t_max
 ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """Closest hit over the triangle BVH. Returns (t, tri_id, u, v)."""
+    """Closest hit over the triangle BVH. Returns (t, tri_id, u, v).
+
+    Packed-table walk: per step ONE (N, 9) node-row gather (box + leaf row +
+    hit/miss links, int lanes bitcast) and, on leaves, ONE (N, 40) gather of
+    the 4-triangle leaf block — the gather count per step is the perf- and
+    compile-time-critical quantity on TPU.
+    """
     n = origin.x.shape
     num_nodes = bvh.num_nodes
     octant = _octant(direction)
-    # flatten per-octant links for a single 1-D gather: idx = octant*M + node
-    hit_link = bvh.hit_link.reshape(-1)
-    miss_link = bvh.miss_link.reshape(-1)
     oct_base = octant * num_nodes
     inv_dir = _safe_inv(direction)
 
@@ -127,46 +140,42 @@ def _bvh_closest_hit_impl(
         tri=jnp.full(n, -1, jnp.int32),
         u=jnp.zeros(n, jnp.float32),
         v=jnp.zeros(n, jnp.float32),
-        steps=jnp.zeros((), jnp.int32),
     )
 
-    def cond(s: _WalkState):
-        return jnp.any(s.node >= 0)
-
-    def body(s: _WalkState) -> _WalkState:
+    def body(_step, s: _WalkState) -> _WalkState:
         active = s.node >= 0
         node = jnp.maximum(s.node, 0)
-        row = bvh.nodes_box[node]  # (N, 8) row gather
-        first = bvh.node_first_tri[node]
+        row = bvh.packed_nodes[oct_base + node]  # (N, 9): THE node gather
+        leaf_row = jax.lax.bitcast_convert_type(row[:, 6], jnp.int32)
+        hit_nxt = jax.lax.bitcast_convert_type(row[:, 7], jnp.int32)
+        miss_nxt = jax.lax.bitcast_convert_type(row[:, 8], jnp.int32)
         hit_box = active & _slab_test(row, origin, inv_dir, s.t)
-        is_leaf = first >= 0
+        is_leaf = leaf_row >= 0
 
-        t_best, tri_best, u_best, v_best = s.t, s.tri, s.u, s.v
         do_tris = hit_box & is_leaf
-        base = jnp.maximum(first, 0)
+        leaf = bvh.leaf_geom[jnp.maximum(leaf_row, 0)]  # (N, 40): THE leaf gather
+        t_best, tri_best, u_best, v_best = s.t, s.tri, s.u, s.v
         for j in range(LEAF_SIZE):
-            slot = base + j
-            geom = bvh.tri_geom[slot]  # (N, 9) row gather
+            geom = leaf[:, 9 * j : 9 * j + 9]
+            tid = jax.lax.bitcast_convert_type(leaf[:, 36 + j], jnp.int32)
             tt, uu, vv, th = _moller_trumbore(geom, origin, direction)
-            tid = bvh.tri_id[slot]
             closer = do_tris & th & (tid >= 0) & (tt < t_best)
             t_best = jnp.where(closer, tt, t_best)
             tri_best = jnp.where(closer, tid, tri_best)
             u_best = jnp.where(closer, uu, u_best)
             v_best = jnp.where(closer, vv, v_best)
 
-        link_idx = oct_base + node
-        nxt = jnp.where(hit_box, hit_link[link_idx], miss_link[link_idx])
+        nxt = jnp.where(hit_box, hit_nxt, miss_nxt)
         return _WalkState(
             node=jnp.where(active, nxt, s.node),
             t=t_best,
             tri=tri_best,
             u=u_best,
             v=v_best,
-            steps=s.steps + 1,
         )
 
-    final = jax.lax.while_loop(cond, body, init)
+    budget = min(num_nodes, MAX_TRAVERSAL_STEPS)
+    final = jax.lax.fori_loop(0, budget, body, init)
     missed = final.tri < 0
     t_out = jnp.where(missed, BIG, final.t)
     return t_out, final.tri, final.u, final.v
@@ -188,46 +197,41 @@ def bvh_closest_hit(bvh, tris, origin, direction, t_max):
 def _bvh_any_hit_impl(
     bvh: BVHFlat, tris: Triangles, origin: Vec3, direction: Vec3, t_max
 ) -> jnp.ndarray:
-    """Any-hit occlusion query (`Traversal_Single.h:99-179` semantics): rays
-    stop traversing as soon as any triangle closer than t_max is found."""
+    """Any-hit occlusion query (`Traversal_Single.h:99-179` semantics):
+    occluded rays park immediately (early-out in the masked sense)."""
     n = origin.x.shape
     num_nodes = bvh.num_nodes
     octant = _octant(direction)
-    hit_link = bvh.hit_link.reshape(-1)
-    miss_link = bvh.miss_link.reshape(-1)
     oct_base = octant * num_nodes
     inv_dir = _safe_inv(direction)
     limit = jnp.asarray(t_max) * jnp.ones(n, jnp.float32)
 
-    def cond(state):
-        node, occluded = state
-        return jnp.any(node >= 0)
-
-    def body(state):
+    def body(_step, state):
         node_s, occluded = state
         active = node_s >= 0
         node = jnp.maximum(node_s, 0)
-        row = bvh.nodes_box[node]
-        first = bvh.node_first_tri[node]
+        row = bvh.packed_nodes[oct_base + node]
+        leaf_row = jax.lax.bitcast_convert_type(row[:, 6], jnp.int32)
+        hit_nxt = jax.lax.bitcast_convert_type(row[:, 7], jnp.int32)
+        miss_nxt = jax.lax.bitcast_convert_type(row[:, 8], jnp.int32)
         hit_box = active & _slab_test(row, origin, inv_dir, limit)
-        is_leaf = first >= 0
+        is_leaf = leaf_row >= 0
         do_tris = hit_box & is_leaf
-        base = jnp.maximum(first, 0)
+        leaf = bvh.leaf_geom[jnp.maximum(leaf_row, 0)]
         found = occluded
         for j in range(LEAF_SIZE):
-            slot = base + j
-            geom = bvh.tri_geom[slot]
+            geom = leaf[:, 9 * j : 9 * j + 9]
+            tid = jax.lax.bitcast_convert_type(leaf[:, 36 + j], jnp.int32)
             tt, _, _, th = _moller_trumbore(geom, origin, direction)
-            tid = bvh.tri_id[slot]
             found = found | (do_tris & th & (tid >= 0) & (tt < limit))
 
-        link_idx = oct_base + node
-        nxt = jnp.where(hit_box, hit_link[link_idx], miss_link[link_idx])
-        nxt = jnp.where(found, -1, nxt)  # early-out: occluded rays park
+        nxt = jnp.where(hit_box, hit_nxt, miss_nxt)
+        nxt = jnp.where(found, -1, nxt)  # occluded rays park
         return (jnp.where(active, nxt, node_s), found)
 
-    _, occluded = jax.lax.while_loop(
-        cond, body, (jnp.zeros(n, jnp.int32), jnp.zeros(n, bool))
+    budget = min(num_nodes, MAX_TRAVERSAL_STEPS)
+    _, occluded = jax.lax.fori_loop(
+        0, budget, body, (jnp.zeros(n, jnp.int32), jnp.zeros(n, bool))
     )
     return occluded
 

@@ -47,6 +47,7 @@ class LightSlice(NamedTuple):
     area: jnp.ndarray
     cos_angle: jnp.ndarray
     is_delta: jnp.ndarray
+    is_finite: jnp.ndarray
     env_tex: jnp.ndarray
 
 
@@ -65,6 +66,7 @@ def gather_light(lights: Lights, idx) -> LightSlice:
         area=lights.area[idx],
         cos_angle=lights.cos_angle[idx],
         is_delta=lights.is_delta[idx],
+        is_finite=lights.is_finite[idx],
         env_tex=lights.env_tex[idx],
     )
 
@@ -75,6 +77,7 @@ class Illumination(NamedTuple):
     dir_to_light: Vec3
     distance: jnp.ndarray
     direct_pdf_w: jnp.ndarray
+    emission_pdf_w: jnp.ndarray  # pdf of emitting along this connection (VCM MIS)
     cos_at_light: jnp.ndarray
     radiance: Vec3
     valid: jnp.ndarray
@@ -165,10 +168,25 @@ def illuminate(l: LightSlice, shading_pos: Vec3, shading_frame_normal: Vec3, u1,
         [is_area, is_spot], [area_ok, spot_ok], jnp.ones_like(u1, bool)
     ).astype(bool)
     radiance = l.color  # env texture modulation handled by caller for bg lights
+    # emission pdf along this connection (VCM MIS; mirrors each
+    # ILight::Illuminate's outEmissionPdfW)
+    circle_pdf = sampling.uniform_circle_pdf(SCENE_RADIUS)
+    emission_pdf_w = jnp.select(
+        [is_area, is_bg, is_dl, is_spot],
+        [
+            inv_area * jnp.maximum(cos_at, 1e-6) / jnp.pi,
+            sampling.uniform_sphere_pdf() * circle_pdf,
+            jnp.where(l.cos_angle > 0.9999, 1.0,
+                      sampling.sphere_cap_pdf(jnp.minimum(l.cos_angle, 1.0 - 1e-6))) * circle_pdf,
+            sampling.sphere_cap_pdf(jnp.minimum(l.cos_angle, 1.0 - 1e-6)),
+        ],
+        jnp.full_like(u1, sampling.uniform_sphere_pdf()),
+    )
     return Illumination(
         dir_to_light=dir_to_light,
         distance=distance,
         direct_pdf_w=direct_pdf_w,
+        emission_pdf_w=emission_pdf_w,
         cos_at_light=cos_at_light,
         radiance=radiance,
         valid=valid,

@@ -20,10 +20,24 @@ def scene_traverse(scene: SceneData, origin: Vec3, direction: Vec3, t_max=None) 
         t_max = jnp.full(n, BIG)
     t_p, pid = intersect_prims(scene.prims, origin, direction, t_max)
 
-    if scene.tris is not None and scene.bvh is not None:
+    tri_result = None
+    if scene.tris is not None and scene.clusters is not None:
+        import jax
+
+        from .cluster_traverse import cluster_closest_hit
+
+        args = jax.lax.stop_gradient((scene.clusters, origin, direction, jnp.minimum(t_p, t_max)))
+        t_t, tid, tu, tv, _overflow = cluster_closest_hit(*args)
+        tri_result = (t_t, tid, tu, tv)
+    elif scene.tris is not None and scene.bvh is not None:
         from .bvh_traverse import bvh_closest_hit
 
-        t_t, tid, tu, tv = bvh_closest_hit(scene.bvh, scene.tris, origin, direction, jnp.minimum(t_p, t_max))
+        tri_result = bvh_closest_hit(
+            scene.bvh, scene.tris, origin, direction, jnp.minimum(t_p, t_max)
+        )
+
+    if tri_result is not None:
+        t_t, tid, tu, tv = tri_result
         tri_closer = t_t < t_p
         return Hits(
             t=jnp.where(tri_closer, t_t, t_p),
@@ -41,7 +55,14 @@ def scene_occluded(scene: SceneData, origin: Vec3, direction: Vec3, t_max) -> jn
     """Any-hit shadow query (`Scene.cpp:245-261`)."""
     t_p, _ = intersect_prims(scene.prims, origin, direction, t_max)
     occ = t_p < t_max
-    if scene.tris is not None and scene.bvh is not None:
+    if scene.tris is not None and scene.clusters is not None:
+        import jax
+
+        from .cluster_traverse import cluster_any_hit
+
+        args = jax.lax.stop_gradient((scene.clusters, origin, direction, t_max))
+        occ = occ | cluster_any_hit(*args)
+    elif scene.tris is not None and scene.bvh is not None:
         from .bvh_traverse import bvh_any_hit
 
         occ = occ | bvh_any_hit(scene.bvh, scene.tris, origin, direction, t_max)

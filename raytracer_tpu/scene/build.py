@@ -215,7 +215,17 @@ class SceneBuilder:
 
         lights = self._build_lights()
         tris, bvh = self._build_tris()
-        scene = T.SceneData(prims=prims, tris=tris, bvh=bvh, materials=materials, lights=lights, textures=self.textures)
+        clusters = None
+        if tris is not None:
+            import numpy as _np
+
+            from .clusters import build_clusters
+
+            v0 = _np.stack([_np.asarray(tris.v0.x), _np.asarray(tris.v0.y), _np.asarray(tris.v0.z)], -1)
+            e1 = _np.stack([_np.asarray(tris.e1.x), _np.asarray(tris.e1.y), _np.asarray(tris.e1.z)], -1)
+            e2 = _np.stack([_np.asarray(tris.e2.x), _np.asarray(tris.e2.y), _np.asarray(tris.e2.z)], -1)
+            clusters = build_clusters(v0, e1, e2)
+        scene = T.SceneData(prims=prims, tris=tris, bvh=bvh, materials=materials, lights=lights, textures=self.textures, clusters=clusters)
         meta = self._build_meta()
         return scene, meta
 

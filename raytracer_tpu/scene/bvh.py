@@ -158,6 +158,71 @@ def _thread_links(nodes: list[_BuildNode]) -> tuple[np.ndarray, np.ndarray]:
     return hit, miss
 
 
+def _build_arrays_python(box_min, box_max):
+    """Pure-python build -> flat arrays (fallback when no C++ toolchain)."""
+    nodes, perm = build_sah_tree(box_min, box_max)
+    hit, miss = _thread_links(nodes)
+    m = len(nodes)
+    nodes_box = np.zeros((m, 8), np.float32)
+    padded_ids = []
+    node_first = np.full(m, -1, np.int32)
+    cursor = 0
+    for i, nd in enumerate(nodes):
+        nodes_box[i, 0:3] = nd.box_min
+        nodes_box[i, 3:6] = nd.box_max
+        if nd.left < 0:
+            node_first[i] = cursor
+            for j in range(LEAF_SIZE):
+                padded_ids.append(nd.first + j if j < nd.count else -1)
+            cursor += LEAF_SIZE
+    return nodes_box, node_first, hit, miss, perm, np.asarray(padded_ids, np.int32)
+
+
+def _build_arrays_native(box_min, box_max):
+    """C++ sweep-SAH build via ctypes (`native/bvh_builder.cpp`); None if the
+    native library is unavailable."""
+    import ctypes
+
+    from ..native import load_library
+
+    lib = load_library("bvh_builder")
+    if lib is None:
+        return None
+    n = box_min.shape[0]
+    f32p = ctypes.POINTER(ctypes.c_float)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    bmin = np.ascontiguousarray(box_min, np.float32)
+    bmax = np.ascontiguousarray(box_max, np.float32)
+    nodes_box = np.zeros((2 * n, 8), np.float32)
+    node_first = np.zeros(2 * n, np.int32)
+    perm = np.zeros(n, np.int32)
+    padded_ids = np.zeros(4 * n, np.int32)
+    num_padded = np.zeros(1, np.int32)
+
+    def P(a, ty):
+        return a.ctypes.data_as(ty)
+
+    m = lib.bvh_build(
+        P(bmin, f32p), P(bmax, f32p), ctypes.c_int(n), ctypes.c_int(LEAF_SIZE),
+        P(nodes_box, f32p), P(node_first, i32p), P(perm, i32p),
+        P(padded_ids, i32p), P(num_padded, i32p),
+    )
+    if m <= 0:
+        return None
+    hit = np.zeros((8, m), np.int32)
+    miss = np.zeros((8, m), np.int32)
+    nodes_box = np.ascontiguousarray(nodes_box[:m])
+    lib.bvh_thread_links(P(nodes_box, f32p), ctypes.c_int(m), P(hit, i32p), P(miss, i32p))
+    return (
+        nodes_box,
+        node_first[:m],
+        hit,
+        miss,
+        perm.astype(np.int64),
+        padded_ids[: int(num_padded[0])],
+    )
+
+
 def build_bvh_over_triangles(
     tri_v: np.ndarray,  # (T, 3, 3) world-space vertices
     tri_n: np.ndarray,  # (T, 3, 3) vertex normals
@@ -169,12 +234,15 @@ def build_bvh_over_triangles(
     Returns (Triangles SoA in leaf order, BVHFlat device arrays).  The padded
     leaf slots in ``BVHFlat.tri_geom`` reference reordered triangle ids so the
     traversal's best-hit ``tri_id`` indexes the returned Triangles directly.
+    Uses the native C++ builder when available (~100x for large meshes).
     """
     t = tri_v.shape[0]
     box_min = tri_v.min(1)
     box_max = tri_v.max(1)
-    nodes, perm = build_sah_tree(box_min, box_max)
-    hit, miss = _thread_links(nodes)
+    arrays = _build_arrays_native(box_min, box_max)
+    if arrays is None:
+        arrays = _build_arrays_python(box_min, box_max)
+    nodes_box, node_first, hit, miss, perm, padded_ids = arrays
 
     # reorder triangle data to BVH leaf order
     v = tri_v[perm].astype(np.float32)
@@ -185,32 +253,13 @@ def build_bvh_over_triangles(
     e1 = v[:, 1] - v[:, 0]
     e2 = v[:, 2] - v[:, 0]
 
-    # padded leaf slots: every leaf owns exactly LEAF_SIZE entries
-    first_map = {}  # build-node leaf first -> padded first
-    padded_geom = []
-    padded_ids = []
-    cursor = 0
-    for nd in nodes:
-        if nd.left >= 0:
-            continue
-        first_map[nd.first] = cursor
-        for j in range(LEAF_SIZE):
-            if j < nd.count:
-                k = nd.first + j
-                padded_geom.append(np.concatenate([v0[k], e1[k], e2[k]]))
-                padded_ids.append(k)
-            else:
-                padded_geom.append(np.zeros(9, np.float32))  # degenerate: never hits
-                padded_ids.append(-1)
-        cursor += LEAF_SIZE
-
-    node_first = np.array(
-        [first_map[nd.first] if nd.left < 0 else -1 for nd in nodes], np.int32
-    )
-    nodes_box = np.zeros((len(nodes), 8), np.float32)
-    for i, nd in enumerate(nodes):
-        nodes_box[i, 0:3] = nd.box_min
-        nodes_box[i, 3:6] = nd.box_max
+    # padded leaf slots reference reordered triangle rows; pads are
+    # degenerate all-zero triangles (can never be hit)
+    safe_ids = np.maximum(padded_ids, 0)
+    padded_geom = np.concatenate(
+        [v0[safe_ids], e1[safe_ids], e2[safe_ids]], axis=1
+    ).astype(np.float32)
+    padded_geom[padded_ids < 0] = 0.0
 
     tris = Triangles(
         v0=Vec3(jnp.asarray(v0[:, 0]), jnp.asarray(v0[:, 1]), jnp.asarray(v0[:, 2])),
@@ -224,13 +273,33 @@ def build_bvh_over_triangles(
         uv2_u=jnp.asarray(uv[:, 2, 0]), uv2_v=jnp.asarray(uv[:, 2, 1]),
         material_id=jnp.asarray(mat),
     )
+    # packed traversal tables: one (9,) row per (octant, node) and one (40,)
+    # row per leaf -> the traversal step is 2 gathers instead of 12
+    m = nodes_box.shape[0]
+    leaf_rows = padded_ids.shape[0] // LEAF_SIZE
+    packed = np.zeros((8, m, 9), np.float32)
+    packed[:, :, 0:6] = nodes_box[None, :, 0:6]
+    leaf_row_of_node = np.where(node_first >= 0, node_first // LEAF_SIZE, -1).astype(np.int32)
+    packed[:, :, 6] = leaf_row_of_node[None, :].view(np.float32)
+    packed[:, :, 7] = hit.astype(np.int32).view(np.float32)
+    packed[:, :, 8] = miss.astype(np.int32).view(np.float32)
+
+    leaf_geom = np.zeros((max(leaf_rows, 1), 40), np.float32)
+    if leaf_rows:
+        leaf_geom[:, 0:36] = padded_geom.reshape(leaf_rows, LEAF_SIZE * 9)
+        leaf_geom[:, 36:40] = (
+            np.asarray(padded_ids, np.int32).reshape(leaf_rows, LEAF_SIZE).view(np.float32)
+        )
+
     bvh = BVHFlat(
         nodes_box=jnp.asarray(nodes_box),
         node_first_tri=jnp.asarray(node_first),
         hit_link=jnp.asarray(hit),
         miss_link=jnp.asarray(miss),
-        tri_geom=jnp.asarray(np.stack(padded_geom) if padded_geom else np.zeros((0, 9), np.float32)),
+        tri_geom=jnp.asarray(padded_geom),
         tri_id=jnp.asarray(np.asarray(padded_ids, np.int32)),
+        packed_nodes=jnp.asarray(packed.reshape(8 * m, 9)),
+        leaf_geom=jnp.asarray(leaf_geom),
     )
     return tris, bvh
 

@@ -159,6 +159,11 @@ class BVHFlat(NamedTuple):
     miss_link: jnp.ndarray  # (8, M) int32 per-octant next-on-miss (-1 = done)
     tri_geom: jnp.ndarray  # (Tpad, 9) f32: v0, e1, e2 per padded leaf slot
     tri_id: jnp.ndarray  # (Tpad,) int32: original (reordered) triangle index, -1 = pad
+    # --- packed traversal tables (ONE gather per node step + one per leaf):
+    # row = [bmin(3), bmax(3), leaf_row|-1, hit_link, miss_link] per octant,
+    # int lanes bitcast to f32.  Leaf row = 4 tris x (v0,e1,e2) + 4 ids.
+    packed_nodes: jnp.ndarray  # (8*M, 9) f32 (lanes 6..8 bitcast int32)
+    leaf_geom: jnp.ndarray  # (L, 40) f32: 36 geom floats + 4 bitcast int32 ids
 
     @property
     def num_nodes(self) -> int:
@@ -282,10 +287,11 @@ class SceneData(NamedTuple):
 
     prims: Primitives
     tris: Optional[Triangles]
-    bvh: Optional[BVHArrays]
+    bvh: Optional[BVHFlat]
     materials: Materials
     lights: Lights
     textures: Optional[TextureAtlas]
+    clusters: object = None  # Optional[ClusterSet]: dense two-phase mesh traversal
 
     @property
     def has_tris(self) -> bool:
