@@ -147,7 +147,7 @@ def _merge_frames(is_tri, a: PrimFrame, b: PrimFrame) -> PrimFrame:
 
 def _sample_lights_nee(
     scene: SceneData, meta: SceneMeta, params: RenderParams, frame: PrimFrame,
-    mp, wo_local, pick_prob, is_last, stream: SampleStream,
+    mp, wo_local, pick_prob, is_last, stream: SampleStream, time=None,
 ):
     """NEE (`PathTracerMIS.cpp:43-155`): 'single' picks one light uniformly,
     'all' loops every light. Returns (contribution, n_shadow_rays, stream)."""
@@ -178,7 +178,7 @@ def _sample_lights_nee(
 
         shadow_origin = frame.position + ill.dir_to_light * SHADOW_OFFSET
         max_t = jnp.minimum(ill.distance * 0.999, BIG)
-        occluded = scene_occluded(scene, shadow_origin, ill.dir_to_light, max_t)
+        occluded = scene_occluded(scene, shadow_origin, ill.dir_to_light, max_t, time=time)
         n_shadow = n_shadow + jnp.sum((ill.valid & f_nonzero).astype(jnp.float32))
 
         w = jnp.where(
@@ -201,8 +201,12 @@ def trace_radiance(
     rays: Rays,
     stream: SampleStream,
     params: RenderParams,
+    time=None,
 ) -> tuple[Vec3, Counters]:
-    """Trace a wavefront to completion. Returns (radiance per ray, counters)."""
+    """Trace a wavefront to completion. Returns (radiance per ray, counters).
+
+    ``time`` (N,): per-ray shutter time, constant along the path (the
+    reference samples ``ctx.time`` once per pixel, `Viewport.cpp:309`)."""
     n = rays.origin.x.shape
     pick_prob = _light_pick_probability(meta, params)
 
@@ -221,7 +225,7 @@ def trace_radiance(
 
     def bounce(state: _PathState, depth) -> _PathState:
         num_rays = state.num_rays + jnp.sum(state.alive.astype(jnp.float32))
-        hits = scene_traverse(scene, state.origin, state.direction)
+        hits = scene_traverse(scene, state.origin, state.direction, time=time)
         miss = hits.t >= BIG * 0.5
         # clamp miss-lane distances: t = BIG squares to inf in f32, and inf in
         # masked-out lanes poisons reverse-mode AD (0*inf = nan in cotangents)
@@ -237,7 +241,7 @@ def trace_radiance(
 
         # --- shading frame at the hit ----------------------------------------
         frame = eval_prim_frame(
-            scene.prims, hits.prim_id, state.origin, state.direction, hits.t
+            scene.prims, hits.prim_id, state.origin, state.direction, hits.t, time=time
         )
         if scene.tris is not None:
             from ..ops.bvh_traverse import eval_tri_frame
@@ -277,7 +281,8 @@ def trace_radiance(
         num_shadow = state.num_shadow_rays
         if params.mis:
             nee, n_sh, stream = _sample_lights_nee(
-                scene, meta, params, frame, mp, wo_local, pick_prob, is_last, stream
+                scene, meta, params, frame, mp, wo_local, pick_prob, is_last, stream,
+                time=time,
             )
             num_shadow = num_shadow + n_sh
             result = result + state.throughput * nee * survive.astype(jnp.float32)

@@ -97,16 +97,24 @@ def _prim_hit_distance(kind, o, d, param, t_min, t_max):
     return t
 
 
-def intersect_prims(prims: Primitives, origin: Vec3, direction: Vec3, t_max) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """Closest hit over all analytic prims. Returns (t, prim_id)."""
+def intersect_prims(prims: Primitives, origin: Vec3, direction: Vec3, t_max, time=None) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Closest hit over all analytic prims. Returns (t, prim_id).
+
+    ``time`` (N,) is the per-ray shutter time: each prim's translation becomes
+    ``trans + vel*time`` (motion blur, `Scene::Traverse_Object` sampling
+    `GetInverseTransform(time)`, `Scene.cpp:132-136`). None = static.
+    """
     n = origin.x.shape
     init = (jnp.full(n, BIG), jnp.full(n, -1, jnp.int32))
 
     def step(carry, prim):
         best_t, best_id = carry
-        kind, r0x, r0y, r0z, r1x, r1y, r1z, r2x, r2y, r2z, tx, ty, tz, px, py, pz, idx = prim
+        kind, r0x, r0y, r0z, r1x, r1y, r1z, r2x, r2y, r2z, tx, ty, tz, px, py, pz, vx, vy, vz, idx = prim
         rot = Rot3(Vec3(r0x, r0y, r0z), Vec3(r1x, r1y, r1z), Vec3(r2x, r2y, r2z))
-        o, d = _local_ray(rot, Vec3(tx, ty, tz), origin, direction)
+        trans = Vec3(tx, ty, tz)
+        if time is not None:
+            trans = Vec3(tx + vx * time, ty + vy * time, tz + vz * time)
+        o, d = _local_ray(rot, trans, origin, direction)
         t = _prim_hit_distance(kind, o, d, Vec3(px, py, pz), HIT_EPS, jnp.minimum(best_t, t_max))
         closer = t < best_t
         return (jnp.where(closer, t, best_t), jnp.where(closer, idx, best_id)), None
@@ -119,6 +127,7 @@ def intersect_prims(prims: Primitives, origin: Vec3, direction: Vec3, t_max) -> 
         p.rot.r2.x, p.rot.r2.y, p.rot.r2.z,
         p.trans.x, p.trans.y, p.trans.z,
         p.param.x, p.param.y, p.param.z,
+        p.vel.x, p.vel.y, p.vel.z,
         jnp.arange(p.count, dtype=jnp.int32),
     )
     if p.count == 0:
@@ -127,9 +136,9 @@ def intersect_prims(prims: Primitives, origin: Vec3, direction: Vec3, t_max) -> 
     return best_t, best_id
 
 
-def occluded_prims(prims: Primitives, origin: Vec3, direction: Vec3, t_max) -> jnp.ndarray:
+def occluded_prims(prims: Primitives, origin: Vec3, direction: Vec3, t_max, time=None) -> jnp.ndarray:
     """Any-hit shadow query (`Traversal_Single.h:99-179` semantics)."""
-    t, pid = intersect_prims(prims, origin, direction, t_max)
+    t, pid = intersect_prims(prims, origin, direction, t_max, time)
     return t < t_max
 
 
@@ -168,7 +177,7 @@ def gather_prim(prims: Primitives, idx):
     )
 
 
-def eval_prim_frame(prims: Primitives, prim_id, origin: Vec3, direction: Vec3, t) -> PrimFrame:
+def eval_prim_frame(prims: Primitives, prim_id, origin: Vec3, direction: Vec3, t, time=None) -> PrimFrame:
     """Compute position / normal / uv / tangent frame for the closest hits.
 
     Per-kind local frames match the reference:
@@ -176,8 +185,15 @@ def eval_prim_frame(prims: Primitives, prim_id, origin: Vec3, direction: Vec3, t
     - box: face normal from dominant axis (`BoxShape.cpp` cube-UV mapping,
       simplified: uv from the two in-face coords)
     - rect: +Z normal, uv = local xy (`RectShape.cpp:124-133`)
+
+    ``time`` (N,): per-ray shutter time; prim translation becomes trans+vel*t
+    (motion blur) so the local frame matches the traversal-time transform.
     """
     kind, rot, trans, param, mat_id, light_id = gather_prim(prims, prim_id)
+    if time is not None:
+        idx = jnp.maximum(prim_id, 0)
+        vel = _gather_vec3(prims.vel, idx)
+        trans = trans + vel * time
     # clamp miss-lane distances (t = BIG) so every arithmetic path below stays
     # finite: masked-out lanes with inf/nan would poison reverse-mode AD
     # through jnp.where (cotangents flow into both branches)

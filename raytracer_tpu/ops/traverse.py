@@ -14,11 +14,13 @@ from ..scene.types import SceneData
 from .intersect import BIG, Hits, intersect_prims
 
 
-def scene_traverse(scene: SceneData, origin: Vec3, direction: Vec3, t_max=None) -> Hits:
+def scene_traverse(scene: SceneData, origin: Vec3, direction: Vec3, t_max=None, time=None) -> Hits:
+    """``time`` (N,): per-ray shutter time for motion blur (analytic prims
+    only; meshes are pre-transformed static world-space geometry)."""
     n = origin.x.shape
     if t_max is None:
         t_max = jnp.full(n, BIG)
-    t_p, pid = intersect_prims(scene.prims, origin, direction, t_max)
+    t_p, pid = intersect_prims(scene.prims, origin, direction, t_max, time)
 
     tri_result = None
     if scene.tris is not None and scene.clusters is not None:
@@ -51,9 +53,9 @@ def scene_traverse(scene: SceneData, origin: Vec3, direction: Vec3, t_max=None) 
     return Hits(t=t_p, prim_id=pid, tri_id=jnp.full(n, -1, jnp.int32), u=zeros, v=zeros)
 
 
-def scene_occluded(scene: SceneData, origin: Vec3, direction: Vec3, t_max) -> jnp.ndarray:
+def scene_occluded(scene: SceneData, origin: Vec3, direction: Vec3, t_max, time=None) -> jnp.ndarray:
     """Any-hit shadow query (`Scene.cpp:245-261`)."""
-    t_p, _ = intersect_prims(scene.prims, origin, direction, t_max)
+    t_p, _ = intersect_prims(scene.prims, origin, direction, t_max, time)
     occ = t_p < t_max
     if scene.tris is not None and scene.clusters is not None:
         import jax

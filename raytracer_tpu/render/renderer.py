@@ -28,7 +28,7 @@ import numpy as np
 
 from ..integrators.path_tracer import Counters, RenderParams, trace_radiance
 from ..math.sampling import sample_gaussian2
-from ..sampler.sampler import hash_u32, halton_frame_vector, make_stream, u32_to_unit_float
+from ..sampler.sampler import hash_u32, halton_frame_vector, make_stream, next_1d, u32_to_unit_float
 from ..scene.camera import Camera, Rays, generate_rays
 from ..scene.types import SceneData, SceneMeta
 from .film import Film, accumulate_frame, average_radiance, make_film
@@ -44,6 +44,10 @@ class ViewportParams:
     anti_aliasing_spread: float = 0.5
     use_low_discrepancy: bool = True  # SamplingParams.dimensions > 0
     seed: int = 0
+    # shutter-open fraction: per-pixel ray time = u * strength
+    # (RenderingParams::motionBlurStrength, `Context.h:64-66`; sampled per
+    # pixel at `Viewport.cpp:309`)
+    motion_blur_strength: float = 0.0
 
 
 def pixel_grid(width: int, height: int, rows: int | None = None, row0=0):
@@ -88,8 +92,12 @@ def trace_rows(
     cy = cy + jy * (spread / vp.height)
 
     stream = make_stream(pixel_ids, pass_idx, seed=vp.seed, halton=halton)
-    rays, stream = generate_rays(cam, cx, cy, stream)
-    return trace_radiance(scene, meta, rays, stream, params)
+    time = None
+    if vp.motion_blur_strength > 0.0:
+        u_t, stream = next_1d(stream)
+        time = u_t * vp.motion_blur_strength
+    rays, stream = generate_rays(cam, cx, cy, stream, time=time)
+    return trace_radiance(scene, meta, rays, stream, params, time=time)
 
 
 def render_pass(

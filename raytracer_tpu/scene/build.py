@@ -45,6 +45,7 @@ class PrimDesc:
     param: tuple  # (radius,0,0) or half-size
     material_id: int
     light_id: int = T.INVALID_ID
+    velocity: tuple = (0.0, 0.0, 0.0)  # linear motion over the shutter (t in [0,1])
 
 
 @dataclass
@@ -130,15 +131,15 @@ class SceneBuilder:
         return self._mat_index["__default__"]
 
     # --- geometry ----------------------------------------------------------------
-    def add_sphere(self, transform: RigidTransform, radius: float, material_id: int, light_id=T.INVALID_ID):
-        self.prims.append(PrimDesc(T.PRIM_SPHERE, transform, (radius, 0.0, 0.0), material_id, light_id))
+    def add_sphere(self, transform: RigidTransform, radius: float, material_id: int, light_id=T.INVALID_ID, velocity=(0.0, 0.0, 0.0)):
+        self.prims.append(PrimDesc(T.PRIM_SPHERE, transform, (radius, 0.0, 0.0), material_id, light_id, velocity))
 
-    def add_box(self, transform: RigidTransform, half_size, material_id: int, light_id=T.INVALID_ID):
-        self.prims.append(PrimDesc(T.PRIM_BOX, transform, tuple(half_size), material_id, light_id))
+    def add_box(self, transform: RigidTransform, half_size, material_id: int, light_id=T.INVALID_ID, velocity=(0.0, 0.0, 0.0)):
+        self.prims.append(PrimDesc(T.PRIM_BOX, transform, tuple(half_size), material_id, light_id, velocity))
 
-    def add_rect(self, transform: RigidTransform, half_size2, material_id: int, light_id=T.INVALID_ID):
+    def add_rect(self, transform: RigidTransform, half_size2, material_id: int, light_id=T.INVALID_ID, velocity=(0.0, 0.0, 0.0)):
         sx, sy = half_size2
-        self.prims.append(PrimDesc(T.PRIM_RECT, transform, (sx, sy, 0.0), material_id, light_id))
+        self.prims.append(PrimDesc(T.PRIM_RECT, transform, (sx, sy, 0.0), material_id, light_id, velocity))
 
     def add_mesh(self, vertices, indices, normals, uvs, material_ids, transform: RigidTransform | None = None):
         """Add a triangle mesh. vertices (V,3), indices (F,3), normals (V,3),
@@ -211,6 +212,7 @@ class SceneBuilder:
             param=_vec3_np([p.param for p in prim_list], None),
             material_id=jnp.asarray([p.material_id for p in prim_list], jnp.int32),
             light_id=jnp.asarray([p.light_id for p in prim_list], jnp.int32),
+            vel=_vec3_np([p.velocity for p in prim_list], None),
         )
 
         lights = self._build_lights()

@@ -47,10 +47,15 @@ def make_camera(
     enable_distortion: bool = False,
     distortion_const: float = 0.01,
     distortion_variable: float = 0.0,
+    transform_end: RigidTransform | None = None,
 ) -> Camera:
+    """``transform_end`` is the camera pose at shutter-close (time=1); pass it
+    to enable camera motion blur (`Camera::SampleTransform`, `Camera.cpp:61-79`)."""
     f32 = lambda v: jnp.float32(v)
     rows = transform.rot.astype(np.float32)
     mkvec = lambda r: Vec3(f32(r[0]), f32(r[1]), f32(r[2]))
+    end = transform_end if transform_end is not None else transform
+    rows_end = end.rot.astype(np.float32)
     return Camera(
         origin=mkvec(transform.translation.astype(np.float32)),
         right=mkvec(rows[0]),
@@ -62,10 +67,15 @@ def make_camera(
         focal_distance=f32(focal_distance),
         distortion_const=f32(distortion_const),
         distortion_variable=f32(distortion_variable),
+        origin_end=mkvec(end.translation.astype(np.float32)),
+        right_end=mkvec(rows_end[0]),
+        up_end=mkvec(rows_end[1]),
+        forward_end=mkvec(rows_end[2]),
         enable_dof=enable_dof,
         bokeh_shape=bokeh_shape,
         aperture_blades=aperture_blades,
         enable_distortion=enable_distortion,
+        enable_motion_blur=transform_end is not None,
     )
 
 
@@ -83,8 +93,27 @@ def _sample_bokeh(cam: Camera, stream: SampleStream):
     return bx, by, stream
 
 
-def generate_rays(cam: Camera, coords_x, coords_y, stream: SampleStream) -> tuple[Rays, SampleStream]:
-    """coords in [0,1)^2 (x right, y up) -> world-space camera rays."""
+def _sample_transform(cam: Camera, time):
+    """Per-ray camera basis at ray ``time``: lerp of the shutter-open/-close
+    poses, re-orthonormalized (`Camera::SampleTransform`, `Camera.cpp:61-79`;
+    the reference slerps quaternion keyframes — for the small per-frame
+    rotations motion blur sees, lerp+Gram-Schmidt agrees to first order)."""
+    from ..math.vec import cross
+
+    lerp = lambda a, b: a + (b - a) * time
+    origin = Vec3(lerp(cam.origin.x, cam.origin_end.x), lerp(cam.origin.y, cam.origin_end.y), lerp(cam.origin.z, cam.origin_end.z))
+    fwd = normalize(Vec3(lerp(cam.forward.x, cam.forward_end.x), lerp(cam.forward.y, cam.forward_end.y), lerp(cam.forward.z, cam.forward_end.z)), eps=1e-20)
+    r_raw = Vec3(lerp(cam.right.x, cam.right_end.x), lerp(cam.right.y, cam.right_end.y), lerp(cam.right.z, cam.right_end.z))
+    right = normalize(r_raw - fwd * dot(r_raw, fwd), eps=1e-20)
+    up = cross(fwd, right)
+    return origin, right, up, fwd
+
+
+def generate_rays(cam: Camera, coords_x, coords_y, stream: SampleStream, time=None) -> tuple[Rays, SampleStream]:
+    """coords in [0,1)^2 (x right, y up) -> world-space camera rays.
+
+    ``time`` is the per-ray shutter time in [0,1] (motion blur); None = static.
+    """
     bx = 2.0 * coords_x - 1.0
     by = 2.0 * coords_y - 1.0
 
@@ -95,21 +124,27 @@ def generate_rays(cam: Camera, coords_x, coords_y, stream: SampleStream) -> tupl
         bx = bx + bx * factor
         by = by + by * factor
 
-    direction = (
-        cam.forward
-        + (cam.right * (bx * cam.aspect) + cam.up * by) * cam.tan_half_fov
-    )
+    if cam.enable_motion_blur and time is not None:
+        cam_origin, right, up, forward = _sample_transform(cam, time)
+        origin = Vec3(
+            jnp.broadcast_to(cam_origin.x, bx.shape),
+            jnp.broadcast_to(cam_origin.y, bx.shape),
+            jnp.broadcast_to(cam_origin.z, bx.shape),
+        )
+    else:
+        right, up, forward = cam.right, cam.up, cam.forward
+        origin = Vec3(
+            jnp.broadcast_to(cam.origin.x, bx.shape),
+            jnp.broadcast_to(cam.origin.y, bx.shape),
+            jnp.broadcast_to(cam.origin.z, bx.shape),
+        )
 
-    origin = Vec3(
-        jnp.broadcast_to(cam.origin.x, bx.shape),
-        jnp.broadcast_to(cam.origin.y, bx.shape),
-        jnp.broadcast_to(cam.origin.z, bx.shape),
-    )
+    direction = forward + (right * (bx * cam.aspect) + up * by) * cam.tan_half_fov
 
     if cam.enable_dof:
         focus = origin + direction * cam.focal_distance
         px, py, stream = _sample_bokeh(cam, stream)
-        origin = origin + cam.right * (px * cam.aperture) + cam.up * (py * cam.aperture)
+        origin = origin + right * (px * cam.aperture) + up * (py * cam.aperture)
         direction = focus - origin
 
     return Rays(origin=origin, dir=normalize(direction, eps=1e-20)), stream

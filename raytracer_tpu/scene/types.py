@@ -104,6 +104,12 @@ class Primitives(NamedTuple):
     param: Vec3  # sphere: (radius,-,-); box/rect: half-size
     material_id: jnp.ndarray  # (P,) int32
     light_id: jnp.ndarray  # (P,) int32, INVALID_ID unless this prim IS a light
+    # linear velocity over the shutter interval: effective translation at ray
+    # time t is trans + vel*t — the analogue of the reference's per-object
+    # keyframed transform `ISceneObject::GetTransform(time)`
+    # (`Core/Scene/Object/SceneObject.h:22-55`, sampled per pixel at
+    # `Viewport.cpp:309`)
+    vel: Vec3  # (P,)
 
     @property
     def count(self) -> int:
@@ -242,11 +248,19 @@ class Camera:
     # barrel distortion (`Camera.cpp:86-92`)
     distortion_const: jnp.ndarray
     distortion_variable: jnp.ndarray
+    # motion blur: camera transform at shutter-close (t=1); ray transforms are
+    # lerped + re-orthonormalized by per-ray time (`Camera::SampleTransform`,
+    # `Core/Scene/Camera.cpp:61-79`)
+    origin_end: Vec3
+    right_end: Vec3
+    up_end: Vec3
+    forward_end: Vec3
     # --- static (hashable) config ------------------------------------------
     enable_dof: bool = _dc.field(default=False, metadata={"static": True})
     bokeh_shape: int = _dc.field(default=0, metadata={"static": True})
     aperture_blades: int = _dc.field(default=5, metadata={"static": True})
     enable_distortion: bool = _dc.field(default=False, metadata={"static": True})
+    enable_motion_blur: bool = _dc.field(default=False, metadata={"static": True})
 
 
 # texture kinds (`Core/Textures/*`): bitmap / checkerboard / simplex-noise /
