@@ -2,9 +2,10 @@
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
-The reference publishes no numbers (BASELINE.md), so vs_baseline is measured
-against the self-baseline recorded in BASELINE.json progression configs; until
-a reference run exists we report the raw throughput with vs_baseline = 1.0.
+The reference publishes no numbers, so the baseline was measured by building
+the reference from source and running the identical Cornell/MIS/512p/depth-6
+config through its own Viewport (tools/ref_baseline): 3.95 Mray/s on this
+environment's host CPU.  vs_baseline = ours / 3.95.
 """
 
 import json
@@ -48,13 +49,16 @@ def main():
     total_rays = float(counters.num_rays + counters.num_shadow_rays) * n_passes
 
     mrays = total_rays / dt / 1e6
+    # reference renderer on this environment's host CPU, identical scene and
+    # integrator config (tools/ref_baseline, BASELINE.md)
+    ref_mrays = 3.95
     print(
         json.dumps(
             {
                 "metric": "mrays_per_sec_cornell_mis",
                 "value": round(mrays, 3),
                 "unit": "Mray/s",
-                "vs_baseline": 1.0,
+                "vs_baseline": round(mrays / ref_mrays, 3),
             }
         )
     )
