@@ -196,3 +196,38 @@ class Viewport:
             "total_rays": self.total_rays,
             "total_shadow_rays": self.total_shadow_rays,
         }
+
+    def save_checkpoint(self, path: str):
+        """Persist render state; resumable via :meth:`load_checkpoint`.
+
+        State = film + pass counter + seed (SURVEY §5): sample streams are
+        keyed by (pixel, pass, dim), so resuming continues bit-exactly.
+        """
+        from .checkpoint import save_checkpoint
+
+        save_checkpoint(
+            path, self.film, self.vp_params.seed,
+            extra={"total_rays": self.total_rays,
+                   "total_shadow_rays": self.total_shadow_rays},
+        )
+        return self
+
+    def load_checkpoint(self, path: str):
+        """Restore render state saved by :meth:`save_checkpoint`."""
+        from .checkpoint import load_checkpoint
+
+        film, seed, meta = load_checkpoint(path)
+        if film.sum.shape != (self.vp_params.height, self.vp_params.width, 3):
+            raise ValueError(
+                f"checkpoint film {film.sum.shape[:2]} does not match viewport "
+                f"{(self.vp_params.height, self.vp_params.width)}"
+            )
+        if seed != self.vp_params.seed:
+            raise ValueError(
+                f"checkpoint seed {seed} != viewport seed {self.vp_params.seed}; "
+                "resuming would change the sample streams"
+            )
+        self.film = film
+        self.total_rays = float(meta.get("total_rays", 0.0))
+        self.total_shadow_rays = float(meta.get("total_shadow_rays", 0.0))
+        return self

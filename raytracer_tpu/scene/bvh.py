@@ -314,3 +314,22 @@ def bvh_stats(bvh: BVHFlat) -> dict:
         "padded_tris": int(bvh.tri_id.shape[0]),
         "real_tris": int((np.asarray(bvh.tri_id) >= 0).sum()),
     }
+
+
+def save_bvh(path: str, bvh: BVHFlat) -> None:
+    """Persist a flattened BVH to disk (`BVH::SaveToFile`, `BVH.h:87`).
+
+    BVH build is the dominant scene-load cost for big meshes; caching the
+    flattened arrays lets repeat renders skip it entirely.
+    """
+    import os
+
+    tmp = path + ".tmp"
+    np.savez_compressed(tmp, **{k: np.asarray(v) for k, v in bvh._asdict().items()})
+    os.replace(tmp if tmp.endswith(".npz") else tmp + ".npz", path)
+
+
+def load_bvh(path: str) -> BVHFlat:
+    """Load a flattened BVH written by :func:`save_bvh` (`BVH::LoadFromFile`)."""
+    with np.load(path, allow_pickle=False) as z:
+        return BVHFlat(**{k: jnp.asarray(z[k]) for k in BVHFlat._fields})
