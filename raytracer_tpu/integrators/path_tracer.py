@@ -117,7 +117,13 @@ def _eval_global_lights(
     for li, kind in enumerate(meta.light_kinds):
         if kind == LIGHT_BACKGROUND:
             radiance = _env_radiance(scene, li, direction)
-            direct_pdf_w = 1.0 / (2.0 * jnp.pi)  # UniformHemispherePdf
+            if scene.env_dist is not None:
+                # must match the pdf NEE sampled with (env importance sampling)
+                from ..ops.lights import env_direction_pdf
+
+                direct_pdf_w = env_direction_pdf(scene.env_dist, direction)
+            else:
+                direct_pdf_w = 1.0 / (2.0 * jnp.pi)  # UniformHemispherePdf
             visible = jnp.ones_like(direction.x, bool)
         elif kind == LIGHT_DIRECTIONAL and not meta.light_is_delta[li]:
             cos_angle = lights.cos_angle[li]
@@ -165,7 +171,8 @@ def _sample_lights_nee(
     for light_idx in light_indices:
         l = gather_light(scene.lights, light_idx)
         u1, u2, u3, stream = next_3d(stream)
-        ill = illuminate(l, frame.position, frame.normal, u1, u2, u3)
+        ill = illuminate(l, frame.position, frame.normal, u1, u2, u3,
+                         env=scene.env_dist)
 
         radiance = ill.radiance
         if meta.background_light_index >= 0 and scene.textures is not None:

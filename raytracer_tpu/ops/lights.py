@@ -101,8 +101,45 @@ def _sample_shape_surface(l: LightSlice, u1, u2, u3):
     return p, n
 
 
-def illuminate(l: LightSlice, shading_pos: Vec3, shading_frame_normal: Vec3, u1, u2, u3) -> Illumination:
-    """NEE sample toward one light (ILight::Illuminate for every kind)."""
+def env_sample_direction(env, u1, u2) -> tuple[Vec3, jnp.ndarray]:
+    """Importance-sample a direction from a lat-long env-map distribution.
+
+    Returns (world direction, solid-angle pdf).  The (u, v) mapping matches
+    ``cartesian_to_spherical_uv`` (y-up: v = theta/pi from +Y, u = phi/2pi+0.5),
+    so sampled texels line up with `_env_radiance` fetches.  Jacobian:
+    pdf_w = pdf_uv / (2 pi^2 sin(theta)).  This upgrades the reference's
+    uniform-hemisphere `BackgroundLight::Illuminate` (`BackgroundLight.cpp:
+    63-74`, importance sampling TODO there).
+    """
+    from ..math.distribution import sample_2d
+
+    u, v, pdf_uv = sample_2d(env, u1, u2)
+    theta = v * jnp.pi
+    phi = (u - 0.5) * (2.0 * jnp.pi)
+    sin_t = jnp.sin(theta)
+    d = Vec3(sin_t * jnp.cos(phi), jnp.cos(theta), sin_t * jnp.sin(phi))
+    pdf_w = pdf_uv / jnp.maximum(2.0 * jnp.pi * jnp.pi * sin_t, 1e-6)
+    return d, pdf_w
+
+
+def env_direction_pdf(env, d: Vec3) -> jnp.ndarray:
+    """Solid-angle pdf :func:`env_sample_direction` assigns to direction ``d``
+    (the MIS counterpart used when a BSDF-sampled ray escapes)."""
+    from ..math.distribution import pdf_2d
+    from ..math.sampling import cartesian_to_spherical_uv
+
+    u, v = cartesian_to_spherical_uv(d)
+    sin_t = jnp.sqrt(jnp.maximum(1.0 - d.y * d.y, 1e-12))
+    return pdf_2d(env, u, v) / jnp.maximum(2.0 * jnp.pi * jnp.pi * sin_t, 1e-6)
+
+
+def illuminate(l: LightSlice, shading_pos: Vec3, shading_frame_normal: Vec3, u1, u2, u3,
+               env=None) -> Illumination:
+    """NEE sample toward one light (ILight::Illuminate for every kind).
+
+    ``env``: optional Distribution2D over the background light's lat-long env
+    map; when given, background lanes importance-sample it instead of the
+    uniform hemisphere."""
     zero = jnp.zeros_like(u1)
     one = jnp.ones_like(u1)
 
@@ -132,12 +169,16 @@ def illuminate(l: LightSlice, shading_pos: Vec3, shading_frame_normal: Vec3, u1,
     pdf_area = inv_area * sqr_da / jnp.maximum(cos_at, 1e-4)
     area_ok = cos_at > 1e-7
 
-    # --- background (`BackgroundLight.cpp:63-74`): uniform hemisphere about
-    #     the shading normal
-    h_local = sampling.sample_hemisphere(u1, u2)
-    t, b = sampling.build_onb(shading_frame_normal)
-    dir_bg = sampling.local_to_world(h_local, t, b, shading_frame_normal)
-    pdf_bg = jnp.full_like(u1, sampling.uniform_hemisphere_pdf())
+    # --- background: env-map importance sampling when a distribution exists,
+    #     else uniform hemisphere about the shading normal
+    #     (`BackgroundLight.cpp:63-74`)
+    if env is not None:
+        dir_bg, pdf_bg = env_sample_direction(env, u1, u2)
+    else:
+        h_local = sampling.sample_hemisphere(u1, u2)
+        t, b = sampling.build_onb(shading_frame_normal)
+        dir_bg = sampling.local_to_world(h_local, t, b, shading_frame_normal)
+        pdf_bg = jnp.full_like(u1, sampling.uniform_hemisphere_pdf())
 
     # --- directional (`DirectionalLight.cpp:48-89`): cone about local -Z
     cone = sampling.sample_cone(l.cos_angle, u1, u2)

@@ -40,6 +40,7 @@ class PostprocessParams:
     contrast: float = 0.8
     saturation: float = 0.98
     dithering_strength: float = 0.005
+    blue_noise_dither: bool = True
     bloom_factor: float = 0.0
     bloom_levels: int = 5
     tonemapper: int = TONEMAP_ACES
@@ -99,13 +100,25 @@ def postprocess(avg: jnp.ndarray, params: PostprocessParams, dither_seed: int = 
 
     out = tonemap(c, params.tonemapper)
 
-    # dither (`Viewport.cpp:543-545`): bipolar uniform noise after tonemap
+    # dither (`Viewport.cpp:543-545`): bipolar noise after tonemap.  Blue-noise
+    # dither (tiled 128x128 table, one layer per channel) pushes quantization
+    # error to high frequencies — visibly smoother gradients than white noise.
     if params.dithering_strength > 0.0:
         h, w, _ = out.shape
-        idx = jax.lax.broadcasted_iota(jnp.uint32, (h, w, 3), 0) * jnp.uint32(w * 3) + \
-            jax.lax.broadcasted_iota(jnp.uint32, (h, w, 3), 1) * jnp.uint32(3) + \
-            jax.lax.broadcasted_iota(jnp.uint32, (h, w, 3), 2)
-        noise = u32_to_unit_float(hash_u32(idx ^ jnp.uint32(dither_seed))) * 2.0 - 1.0
+        if params.blue_noise_dither:
+            from ..sampler.sampler import blue_noise_table
+
+            table = jnp.asarray(blue_noise_table())  # (128, 128, 4)
+            ty = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0) % 128
+            tx = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1) % 128
+            # per-seed toroidal golden-ratio offset decorrelates frames
+            shift = jnp.float32(dither_seed) * jnp.float32(0.618034)
+            noise = jnp.mod(table[ty, tx][..., :3] + shift, 1.0) * 2.0 - 1.0
+        else:
+            idx = jax.lax.broadcasted_iota(jnp.uint32, (h, w, 3), 0) * jnp.uint32(w * 3) + \
+                jax.lax.broadcasted_iota(jnp.uint32, (h, w, 3), 1) * jnp.uint32(3) + \
+                jax.lax.broadcasted_iota(jnp.uint32, (h, w, 3), 2)
+            noise = u32_to_unit_float(hash_u32(idx ^ jnp.uint32(dither_seed))) * 2.0 - 1.0
         out = out + noise * params.dithering_strength
 
     return jnp.clip(out, 0.0, 1.0)

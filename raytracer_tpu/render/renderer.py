@@ -43,6 +43,10 @@ class ViewportParams:
     height: int = 256
     anti_aliasing_spread: float = 0.5
     use_low_discrepancy: bool = True  # SamplingParams.dimensions > 0
+    # blue-noise Cranley-Patterson rotation of the first 4 sample dims
+    # (SamplingParams::useBlueNoiseDithering, `GenericSampler.cpp:83-112`);
+    # only meaningful with low discrepancy on
+    use_blue_noise: bool = True
     seed: int = 0
     # shutter-open fraction: per-pixel ray time = u * strength
     # (RenderingParams::motionBlurStrength, `Context.h:64-66`; sampled per
@@ -82,7 +86,32 @@ def trace_rows(
     pass.  Determinism: samples depend only on *global* pixel id + pass +
     seed, so any row partitioning yields identical radiance."""
     cx, cy, pixel_ids = pixel_grid(vp.width, vp.height, rows, row0)
+    return _trace_at(scene, meta, cam, cx, cy, pixel_ids, pass_idx, halton, vp, params)
 
+
+def trace_pixels(
+    scene: SceneData,
+    meta: SceneMeta,
+    cam: Camera,
+    pixel_ids: jnp.ndarray,
+    pass_idx: jnp.ndarray,
+    halton: jnp.ndarray | None,
+    vp: ViewportParams,
+    params: RenderParams,
+):
+    """Camera rays + integrator for an arbitrary (padded) set of pixel ids —
+    the adaptive-rendering work unit: only non-converged blocks' pixels are
+    traced (`Viewport::UpdateBlocksList`, `Viewport.cpp:644-732`).  Samples
+    are keyed by global pixel id, so results are identical to full-frame
+    tracing of the same pixels."""
+    xs = pixel_ids % vp.width
+    ys = pixel_ids // vp.width
+    cx = (xs.astype(jnp.float32) + 0.5) / vp.width
+    cy = 1.0 - (ys.astype(jnp.float32) + 0.5) / vp.height
+    return _trace_at(scene, meta, cam, cx, cy, pixel_ids, pass_idx, halton, vp, params)
+
+
+def _trace_at(scene, meta, cam, cx, cy, pixel_ids, pass_idx, halton, vp, params):
     # per-pass Gaussian AA jitter shared by all pixels (`Viewport.cpp:235-241`)
     u1 = u32_to_unit_float(hash_u32(pass_idx.astype(jnp.uint32) * jnp.uint32(2654435761) + jnp.uint32(vp.seed)))
     u2 = u32_to_unit_float(hash_u32(pass_idx.astype(jnp.uint32) * jnp.uint32(0x9E3779B9) + jnp.uint32(vp.seed + 7)))
@@ -91,7 +120,12 @@ def trace_rows(
     cx = cx + jx * (spread / vp.width)
     cy = cy + jy * (spread / vp.height)
 
-    stream = make_stream(pixel_ids, pass_idx, seed=vp.seed, halton=halton)
+    blue = None
+    if halton is not None and vp.use_blue_noise:
+        from ..sampler.sampler import blue_noise_for_pixels
+
+        blue = blue_noise_for_pixels(pixel_ids, vp.width)
+    stream = make_stream(pixel_ids, pass_idx, seed=vp.seed, halton=halton, blue=blue)
     time = None
     if vp.motion_blur_strength > 0.0:
         u_t, stream = next_1d(stream)

@@ -83,6 +83,36 @@ def halton_frame_vector(sample_index: int, n_dims: int = MAX_DIMS) -> np.ndarray
     )
 
 
+# --- blue noise ----------------------------------------------------------------
+BLUE_NOISE_SIZE = 128
+BLUE_NOISE_LAYERS = 4
+_blue_noise_cache: Optional[np.ndarray] = None
+
+
+def blue_noise_table() -> np.ndarray:
+    """(128, 128, 4) float32 in [0,1): the void-and-cluster dither table.
+
+    Plays the role of the reference's `Data/BlueNoise128_RGBA16.dat`
+    (`GenericSampler.cpp:10-54`) but is *generated* (tools/gen_bluenoise.py),
+    not copied."""
+    global _blue_noise_cache
+    if _blue_noise_cache is None:
+        import os
+
+        path = os.path.join(os.path.dirname(__file__), "bluenoise128.npy")
+        _blue_noise_cache = (np.load(path).astype(np.float32) + 0.5) / 65536.0
+    return _blue_noise_cache
+
+
+def blue_noise_for_pixels(pixel_ids: jnp.ndarray, width: int) -> jnp.ndarray:
+    """Gather each pixel's 4 blue-noise rotation values, tiled mod 128
+    (`GenericSampler.cpp:83-98`). Returns (N, 4) float32."""
+    table = jnp.asarray(blue_noise_table())
+    px = jnp.mod(pixel_ids % width, BLUE_NOISE_SIZE)
+    py = jnp.mod(pixel_ids // width, BLUE_NOISE_SIZE)
+    return table[py, px]  # (N, 4)
+
+
 # --- stream -------------------------------------------------------------------
 class SampleStream(NamedTuple):
     """Per-ray sample stream state (a pytree; threads through lax loops)."""
@@ -91,6 +121,7 @@ class SampleStream(NamedTuple):
     pass_salt: jnp.ndarray  # scalar uint32
     dim: jnp.ndarray  # scalar int32, next dimension to consume
     halton: Optional[jnp.ndarray]  # (MAX_DIMS,) f32 per-pass Halton vector, or None
+    blue: Optional[jnp.ndarray]  # (N, 4) f32 per-pixel blue-noise rotations, or None
 
 
 def make_stream(
@@ -98,23 +129,30 @@ def make_stream(
     pass_index: jnp.ndarray,
     seed: int = 0,
     halton: Optional[jnp.ndarray] = None,
+    blue: Optional[jnp.ndarray] = None,
 ) -> SampleStream:
     ph = hash_combine(_u32(pixel_ids), _u32(seed & 0xFFFFFFFF))
     salt = hash_u32(_u32(pass_index) ^ _u32((seed * 0x85EBCA6B) & 0xFFFFFFFF))
-    return SampleStream(ph, salt, jnp.int32(0), halton)
+    return SampleStream(ph, salt, jnp.int32(0), halton, blue)
 
 
 def next_1d(s: SampleStream) -> tuple[jnp.ndarray, SampleStream]:
     d = _u32(s.dim)
     bits = hash_u32(s.pixel_hash ^ hash_combine(d, s.pass_salt))
     if s.halton is not None:
-        # low-discrepancy: global Halton value + per-pixel rotation
+        # low-discrepancy: global Halton value rotated per pixel — blue-noise
+        # rotation for the first 4 dims (screen-space blue error distribution,
+        # `GenericSampler.cpp:83-112`), hash rotation beyond
         rot_bits = hash_u32(s.pixel_hash ^ hash_combine(d, _u32(0xB5297A4D)))
+        rot = u32_to_unit_float(rot_bits)
+        if s.blue is not None:
+            blue_rot = s.blue[:, jnp.minimum(s.dim, BLUE_NOISE_LAYERS - 1)]
+            rot = jnp.where(s.dim < BLUE_NOISE_LAYERS, blue_rot, rot)
         base = s.halton[jnp.minimum(s.dim, MAX_DIMS - 1)]
         in_range = s.dim < MAX_DIMS
         u = jnp.where(
             in_range,
-            jnp.mod(base + u32_to_unit_float(rot_bits), 1.0),
+            jnp.mod(base + rot, 1.0),
             u32_to_unit_float(bits),
         )
     else:

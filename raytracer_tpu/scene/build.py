@@ -227,9 +227,34 @@ class SceneBuilder:
             e1 = _np.stack([_np.asarray(tris.e1.x), _np.asarray(tris.e1.y), _np.asarray(tris.e1.z)], -1)
             e2 = _np.stack([_np.asarray(tris.e2.x), _np.asarray(tris.e2.y), _np.asarray(tris.e2.z)], -1)
             clusters = build_clusters(v0, e1, e2)
-        scene = T.SceneData(prims=prims, tris=tris, bvh=bvh, materials=materials, lights=lights, textures=self.textures, clusters=clusters)
+        scene = T.SceneData(prims=prims, tris=tris, bvh=bvh, materials=materials,
+                            lights=lights, textures=self.textures, clusters=clusters,
+                            env_dist=self._build_env_dist())
         meta = self._build_meta()
         return scene, meta
+
+    def _build_env_dist(self):
+        """2-D luminance×sin(theta) distribution over the background light's
+        lat-long env bitmap, for NEE importance sampling (the analogue of
+        `BitmapTexture::MakeSamplable`, `BitmapTexture.cpp:122-152`, extended
+        to 2-D)."""
+        if self.textures is None:
+            return None
+        bg = next((l for l in self.lights if l.kind == T.LIGHT_BACKGROUND), None)
+        if bg is None or bg.env_tex < 0:
+            return None
+        atlas = self.textures
+        if int(np.asarray(atlas.kind)[bg.env_tex]) != T.TEX_BITMAP:
+            return None
+        y0 = int(np.asarray(atlas.y0)[bg.env_tex])
+        h = int(np.asarray(atlas.height)[bg.env_tex])
+        w = int(np.asarray(atlas.width)[bg.env_tex])
+        img = np.asarray(atlas.data)[y0:y0 + h, :w, :]
+        lum = img @ np.array([0.2126, 0.7152, 0.0722], np.float64)
+        theta = (np.arange(h, dtype=np.float64) + 0.5) / h * np.pi
+        from ..math.distribution import make_distribution_2d
+
+        return make_distribution_2d(lum * np.sin(theta)[:, None])
 
     def _build_meta(self) -> T.SceneMeta:
         ls = self.lights if self.lights else []

@@ -306,6 +306,9 @@ class SceneData(NamedTuple):
     lights: Lights
     textures: Optional[TextureAtlas]
     clusters: object = None  # Optional[ClusterSet]: dense two-phase mesh traversal
+    # Optional[Distribution2D] over the background light's env map (luminance ×
+    # sin(theta) weights) — enables env importance sampling in NEE
+    env_dist: object = None
 
     @property
     def has_tris(self) -> bool:
