@@ -49,6 +49,10 @@ class RenderParams:
     min_rr_depth: int = 1
     mis: bool = True  # False => naive PathTracer semantics
     light_strategy: str = "single"  # "single" | "all" (`Context.h:28-33`)
+    # hero-wavelength spectral rendering (`RT_ENABLE_SPECTRAL_RENDERING`):
+    # each path samples one wavelength; dispersive dielectrics get a Cauchy
+    # wavelength-dependent IoR and collapse the path to that wavelength
+    spectral: bool = False
     # unroll the bounce loop instead of lax.scan: larger program, but lets XLA
     # optimize across bounces and (currently) avoids a scan-linearization
     # numerical issue in reverse-mode AD — use for differentiable rendering
@@ -78,6 +82,10 @@ class _PathState(NamedTuple):
     stream: SampleStream
     num_rays: jnp.ndarray
     num_shadow_rays: jnp.ndarray
+    # spectral mode: True once the path's hero wavelength collapsed at a
+    # dispersive event (`RoughDielectricBSDF.cpp:29-44`); the resolve weight
+    # is applied exactly once
+    dispersed: jnp.ndarray = None
 
 
 def _light_pick_probability(meta: SceneMeta, params: RenderParams) -> float:
@@ -217,6 +225,13 @@ def trace_radiance(
     n = rays.origin.x.shape
     pick_prob = _light_pick_probability(meta, params)
 
+    wavelength = None
+    if params.spectral:
+        from ..color.spectrum import sample_wavelength
+
+        u_l, stream = next_1d(stream)
+        wavelength = sample_wavelength(u_l)
+
     init = _PathState(
         origin=rays.origin,
         direction=rays.dir,
@@ -228,6 +243,7 @@ def trace_radiance(
         stream=stream,
         num_rays=jnp.zeros((), jnp.float32),
         num_shadow_rays=jnp.zeros((), jnp.float32),
+        dispersed=jnp.zeros(n, bool) if params.spectral else None,
     )
 
     def bounce(state: _PathState, depth) -> _PathState:
@@ -274,7 +290,8 @@ def trace_radiance(
 
         # --- surviving shading lanes ------------------------------------------
         survive = state.alive & (~miss) & (~hit_light)
-        mp = resolve_material(scene, frame.material_id, frame.tex_u, frame.tex_v)
+        mp = resolve_material(scene, frame.material_id, frame.tex_u, frame.tex_v,
+                              wavelength=wavelength, position=frame.position)
 
         # emission accumulation (`PathTracerMIS.cpp:306-317`)
         result = result + state.throughput * mp.emission * survive.astype(jnp.float32)
@@ -314,6 +331,18 @@ def trace_radiance(
         throughput = throughput * vwhere(survive, smp.weight, Vec3.ones(n))
         survive = survive & (max_component(throughput) > 1e-7)
 
+        # --- hero-wavelength collapse at the first dispersive scatter ----------
+        # (`RoughDielectricBSDF.cpp:29-44`): continuation carries a single
+        # wavelength; resolve its CIE->RGB weight into the throughput once
+        dispersed = state.dispersed
+        if params.spectral:
+            from ..color.spectrum import rgb_resolve
+
+            collapse = survive & mp.dispersive & (~state.dispersed)
+            r, g, b = rgb_resolve(wavelength)
+            throughput = vwhere(collapse, throughput * Vec3(r, g, b), throughput)
+            dispersed = state.dispersed | (survive & mp.dispersive)
+
         new_origin = frame.position + wi_world * RAY_OFFSET
         return _PathState(
             origin=vwhere(survive, new_origin, state.origin),
@@ -326,6 +355,7 @@ def trace_radiance(
             stream=stream,
             num_rays=num_rays,
             num_shadow_rays=num_shadow,
+            dispersed=dispersed,
         )
 
     # loop over bounce index; the final step only resolves the last segment's

@@ -153,7 +153,8 @@ def _trace_light_phase(scene, meta, cam, stream, vcm: VcmParams, n_paths,
         hits = hits._replace(t=jnp.clip(hits.t, 0.0, 1e12))
         frame = _shade_frame(scene, hits, state.origin, state.direction)
         hit_surface = state.alive & (~miss) & (frame.light_id < 0)
-        mp = resolve_material(scene, frame.material_id, frame.tex_u, frame.tex_v)
+        mp = resolve_material(scene, frame.material_id, frame.tex_u, frame.tex_v,
+                              position=frame.position)
 
         # MIS update at the hit (`VCM.cpp:369-381`)
         cos_in = jnp.abs(dot(state.direction, frame.normal))
@@ -350,7 +351,8 @@ def render_pass_vcm(
         miss = hits.t >= BIG * 0.5
         hits = hits._replace(t=jnp.clip(hits.t, 0.0, 1e12))
         frame = _shade_frame(scene, hits, state.origin, state.direction)
-        mp = resolve_material(scene, frame.material_id, frame.tex_u, frame.tex_v)
+        mp = resolve_material(scene, frame.material_id, frame.tex_u, frame.tex_v,
+                              position=frame.position)
 
         # MIS update (`VCM.cpp:216-224`)
         cos_in = jnp.abs(dot(state.direction, frame.normal))

@@ -160,6 +160,7 @@ def _parse_materials(doc: dict, builder: SceneBuilder, tex: "_TexResolver"):
                 mask_tex=tex.get(m, "maskMap"),
                 normal_strength=float(m.get("normalMapStrength", 1.0)),
                 dispersive=bool(m.get("dispersive", False)),
+                abbe=float(m.get("abbe", 30.0)),
             )
         )
 

@@ -55,6 +55,9 @@ class MatParams(NamedTuple):
     metalness: jnp.ndarray
     ior: jnp.ndarray
     k: jnp.ndarray
+    # spectral mode: lanes whose IoR is wavelength-dependent (hero-wavelength
+    # collapse happens when a path scatters off such a material)
+    dispersive: jnp.ndarray = None
 
 
 class BsdfSample(NamedTuple):

@@ -17,7 +17,64 @@ def _gather_vec3(v: Vec3, idx) -> Vec3:
     return Vec3(v.x[idx], v.y[idx], v.z[idx])
 
 
-def resolve_material(scene: SceneData, material_id, tex_u=None, tex_v=None) -> MatParams:
+def _apply_decals(scene: SceneData, position, base_color: Vec3, roughness):
+    """Alpha-blend decals onto shading parameters (`DecalSceneObject::Apply`
+    + the point-in-box walk in `Scene::EvaluateShadingData`,
+    `Scene.cpp:446-462`).  Decals are pre-sorted by descending order; the
+    count is small and static, so a branchless unrolled loop replaces the
+    reference's decal BVH."""
+    from ..scene.types import INVALID_ID
+
+    d = scene.decals
+    for i in range(d.count):
+        rot = _gather_vec3_scalar(d.rot, i)
+        local = _to_local(rot, position - _vec3_at(d.trans, i))
+        hs = _vec3_at(d.half_size, i)
+        u = 0.5 * (local.x / jnp.maximum(hs.x, 1e-8) + 1.0)
+        v = 0.5 * (local.y / jnp.maximum(hs.y, 1e-8) + 1.0)
+        w = 0.5 * (local.z / jnp.maximum(hs.z, 1e-8) + 1.0)
+        inside = (
+            (u >= 0.0) & (u <= 1.0) & (v >= 0.0) & (v <= 1.0)
+            & (w >= 0.0) & (w <= 1.0)
+        )
+        color = _vec3_at(d.base_color, i)
+        alpha_t = jnp.ones_like(u)
+        if scene.textures is not None:
+            from .textures import sample_texture_many
+
+            # INVALID_ID lanes evaluate to 1.0 inside sample_texture_many
+            tid = jnp.full_like(position.x.astype(jnp.int32), 0) + d.base_color_tex[i]
+            color = color * sample_texture_many(scene.textures, tid, u, v)
+            aid = jnp.full_like(tid, 0) + d.alpha_tex[i]
+            alpha_t = sample_texture_many(scene.textures, aid, u, v).x
+        alpha = (d.alpha_min[i] + (d.alpha_max[i] - d.alpha_min[i]) * alpha_t)
+        a = jnp.where(inside, alpha, 0.0)
+        base_color = base_color * (1.0 - a) + color * a
+        roughness = roughness * (1.0 - a) + d.roughness[i] * a
+    return base_color, roughness
+
+
+def _vec3_at(v: Vec3, i: int) -> Vec3:
+    return Vec3(v.x[i], v.y[i], v.z[i])
+
+
+def _gather_vec3_scalar(rot, i: int):
+    from ..scene.types import Rot3
+
+    return Rot3(_vec3_at(rot.r0, i), _vec3_at(rot.r1, i), _vec3_at(rot.r2, i))
+
+
+def _to_local(rot, v: Vec3) -> Vec3:
+    from ..math.vec import dot
+
+    return Vec3(dot(v, rot.r0), dot(v, rot.r1), dot(v, rot.r2))
+
+
+def resolve_material(scene: SceneData, material_id, tex_u=None, tex_v=None,
+                     wavelength=None, position=None) -> MatParams:
+    """``wavelength`` (N,) nm: spectral mode — dispersive materials get a
+    Cauchy wavelength-dependent IoR (`RoughDielectricBSDF.cpp:29-44`).
+    ``position`` (N,) world shading points: enables decal application."""
     mats: Materials = scene.materials
     idx = jnp.maximum(material_id, 0)
     base_color = _gather_vec3(mats.base_color, idx)
@@ -39,12 +96,23 @@ def resolve_material(scene: SceneData, material_id, tex_u=None, tex_v=None) -> M
         metal_t = sample_texture_many(scene.textures, mats.metalness_tex[idx], tex_u, tex_v)
         metalness = metalness * metal_t.x
 
+    ior = mats.ior[idx]
+    dispersive = mats.dispersive[idx]
+    if wavelength is not None:
+        from ..color.spectrum import cauchy_ior
+
+        ior = jnp.where(dispersive, cauchy_ior(ior, mats.abbe[idx], wavelength), ior)
+
+    if scene.decals is not None and position is not None:
+        base_color, roughness = _apply_decals(scene, position, base_color, roughness)
+
     return MatParams(
         bsdf=mats.bsdf[idx],
         base_color=base_color,
         emission=emission,
         roughness=roughness,
         metalness=metalness,
-        ior=mats.ior[idx],
+        ior=ior,
         k=mats.k[idx],
+        dispersive=dispersive,
     )

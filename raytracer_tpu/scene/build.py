@@ -35,7 +35,8 @@ class MaterialDesc:
     normal_tex: int = T.INVALID_ID
     mask_tex: int = T.INVALID_ID
     normal_strength: float = 1.0
-    dispersive: bool = False  # Sellmeier dispersion (spectral mode only)
+    dispersive: bool = False  # Cauchy dispersion (spectral mode only)
+    abbe: float = 30.0  # Abbe number V_d (lower = stronger dispersion)
 
 
 @dataclass
@@ -46,6 +47,21 @@ class PrimDesc:
     material_id: int
     light_id: int = T.INVALID_ID
     velocity: tuple = (0.0, 0.0, 0.0)  # linear motion over the shutter (t in [0,1])
+
+
+@dataclass
+class DecalDesc:
+    """Projected-texture decal (`SceneObject_Decal.h:21-37`)."""
+
+    transform: RigidTransform
+    half_size: tuple = (0.5, 0.5, 0.5)
+    base_color: tuple = (1.0, 1.0, 1.0)
+    base_color_tex: int = T.INVALID_ID
+    alpha_tex: int = T.INVALID_ID
+    roughness: float = 0.5
+    alpha_min: float = 0.0
+    alpha_max: float = 1.0
+    order: int = 0
 
 
 @dataclass
@@ -104,6 +120,7 @@ class SceneBuilder:
         self.materials: list[MaterialDesc] = []
         self.prims: list[PrimDesc] = []
         self.lights: list[LightDesc] = []
+        self.decals: list[DecalDesc] = []
         self._mat_index: dict[str, int] = {}
         # mesh triangle accumulation (world space)
         self._tri_v = []  # (n,3,3) vertex positions
@@ -196,6 +213,8 @@ class SceneBuilder:
             normal_tex=jnp.asarray([m.normal_tex for m in mats], jnp.int32),
             mask_tex=jnp.asarray([m.mask_tex for m in mats], jnp.int32),
             normal_strength=jnp.asarray([m.normal_strength for m in mats], jnp.float32),
+            dispersive=jnp.asarray([m.dispersive for m in mats], bool),
+            abbe=jnp.asarray([m.abbe for m in mats], jnp.float32),
         )
 
         prim_list = self.prims
@@ -229,9 +248,33 @@ class SceneBuilder:
             clusters = build_clusters(v0, e1, e2)
         scene = T.SceneData(prims=prims, tris=tris, bvh=bvh, materials=materials,
                             lights=lights, textures=self.textures, clusters=clusters,
-                            env_dist=self._build_env_dist())
+                            env_dist=self._build_env_dist(),
+                            decals=self._build_decals())
         meta = self._build_meta()
         return scene, meta
+
+    def add_decal(self, desc: DecalDesc) -> int:
+        idx = len(self.decals)
+        self.decals.append(desc)
+        return idx
+
+    def _build_decals(self):
+        """Flatten decals, pre-sorted by descending ``order`` so application
+        order matches the reference's sort (`Scene.cpp:448-456`)."""
+        if not self.decals:
+            return None
+        ds = sorted(self.decals, key=lambda d: -d.order)
+        return T.Decals(
+            rot=_rot3([d.transform for d in ds]),
+            trans=_vec3_np([tuple(d.transform.translation) for d in ds], None),
+            half_size=_vec3_np([d.half_size for d in ds], None),
+            base_color=_vec3_np([d.base_color for d in ds], None),
+            base_color_tex=jnp.asarray([d.base_color_tex for d in ds], jnp.int32),
+            alpha_tex=jnp.asarray([d.alpha_tex for d in ds], jnp.int32),
+            roughness=jnp.asarray([d.roughness for d in ds], jnp.float32),
+            alpha_min=jnp.asarray([d.alpha_min for d in ds], jnp.float32),
+            alpha_max=jnp.asarray([d.alpha_max for d in ds], jnp.float32),
+        )
 
     def _build_env_dist(self):
         """2-D luminance×sin(theta) distribution over the background light's

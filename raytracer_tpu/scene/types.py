@@ -194,6 +194,10 @@ class Materials(NamedTuple):
     normal_tex: jnp.ndarray
     mask_tex: jnp.ndarray
     normal_strength: jnp.ndarray  # (M,)
+    # spectral dispersion (`Material.h:60-66` Sellmeier/Cauchy params, here as
+    # d-line IoR + Abbe number; active in spectral mode only)
+    dispersive: jnp.ndarray  # (M,) bool
+    abbe: jnp.ndarray  # (M,) f32 Abbe number V_d
 
     @property
     def count(self) -> int:
@@ -296,6 +300,29 @@ class TextureAtlas(NamedTuple):
     sub_w: jnp.ndarray  # (K,) int32 mix weight texture id
 
 
+class Decals(NamedTuple):
+    """Projected-texture decals, SoA over D, pre-sorted by descending
+    ``order`` (`SceneObject_Decal.h:21-37`, applied `Scene.cpp:446-462`).
+
+    A decal is a unit box in its local space; shading points inside it get
+    base color / roughness alpha-blended from the decal's texture.  D is
+    small and static, so application is a branchless loop (no decal BVH)."""
+
+    rot: Rot3  # local->world rotation rows, (D,) each
+    trans: Vec3  # (D,) box center
+    half_size: Vec3  # (D,) box half-extents
+    base_color: Vec3  # (D,) constant factor
+    base_color_tex: jnp.ndarray  # (D,) int32 texture id or INVALID_ID
+    alpha_tex: jnp.ndarray  # (D,) int32 alpha texture (.x channel) or INVALID_ID
+    roughness: jnp.ndarray  # (D,)
+    alpha_min: jnp.ndarray  # (D,)
+    alpha_max: jnp.ndarray  # (D,)
+
+    @property
+    def count(self) -> int:
+        return self.roughness.shape[0]
+
+
 class SceneData(NamedTuple):
     """Complete device-side scene: the pytree passed into the render kernels."""
 
@@ -309,6 +336,7 @@ class SceneData(NamedTuple):
     # Optional[Distribution2D] over the background light's env map (luminance ×
     # sin(theta) weights) — enables env importance sampling in NEE
     env_dist: object = None
+    decals: Optional[Decals] = None
 
     @property
     def has_tris(self) -> bool:
