@@ -31,8 +31,10 @@ from ..ops.traverse import scene_occluded, scene_traverse
 from ..sampler.sampler import SampleStream, next_1d, next_3d
 from ..scene.camera import Rays
 from ..scene.types import (
+    LIGHT_AREA,
     LIGHT_BACKGROUND,
     LIGHT_DIRECTIONAL,
+    SHAPE_SPHERE,
     SceneData,
     SceneMeta,
 )
@@ -180,7 +182,7 @@ def _sample_lights_nee(
         l = gather_light(scene.lights, light_idx)
         u1, u2, u3, stream = next_3d(stream)
         ill = illuminate(l, frame.position, frame.normal, u1, u2, u3,
-                         env=scene.env_dist)
+                         env=scene.env_dist, sphere_cone=True)
 
         radiance = ill.radiance
         if meta.background_light_index >= 0 and scene.textures is not None:
@@ -279,6 +281,21 @@ def trace_radiance(
         l_visible = cos_at_light > 1e-7
         direct_pdf_a = 1.0 / jnp.maximum(l_hit.area, 1e-8)
         direct_pdf_w = pdf_area_to_solid_angle(direct_pdf_a, hits.t, cos_at_light)
+        # sphere lights: NEE samples the subtended cone, so the MIS pdf of
+        # "light sampling would have produced this direction" is the cone pdf
+        # (`SphereShape.cpp:108-124`)
+        from ..math.sampling import sphere_cap_pdf
+        from ..ops.lights import sphere_cone_cos_max
+
+        cos_max, _, outside_s = sphere_cone_cos_max(
+            l_hit.trans, l_hit.shape_param.x, state.origin
+        )
+        is_sphere_area = (l_hit.kind == LIGHT_AREA) & (
+            l_hit.shape_kind == SHAPE_SPHERE
+        )
+        direct_pdf_w = jnp.where(
+            is_sphere_area & outside_s, sphere_cap_pdf(cos_max), direct_pdf_w
+        )
         use_mis = (depth > 0) & (~state.last_specular)
         w_light = jnp.where(
             use_mis, _combine_mis(state.last_pdf, direct_pdf_w * pick_prob), 1.0

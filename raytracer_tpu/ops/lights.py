@@ -133,13 +133,29 @@ def env_direction_pdf(env, d: Vec3) -> jnp.ndarray:
     return pdf_2d(env, u, v) / jnp.maximum(2.0 * jnp.pi * jnp.pi * sin_t, 1e-6)
 
 
+def sphere_cone_cos_max(center: Vec3, radius, point: Vec3):
+    """cos of the half-angle of the cone subtending a sphere from ``point``
+    (`SphereShape.cpp:65-75`). Returns (cos_max, dist_to_center, outside)."""
+    to_c = center - point
+    dc2 = dot(to_c, to_c)
+    dc = jnp.sqrt(jnp.maximum(dc2, 1e-20))
+    sin2_max = jnp.clip(radius * radius / jnp.maximum(dc2, 1e-20), 0.0, 1.0 - 1e-7)
+    cos_max = jnp.sqrt(1.0 - sin2_max)
+    return cos_max, dc, dc2 > radius * radius
+
+
 def illuminate(l: LightSlice, shading_pos: Vec3, shading_frame_normal: Vec3, u1, u2, u3,
-               env=None) -> Illumination:
+               env=None, sphere_cone: bool = False) -> Illumination:
     """NEE sample toward one light (ILight::Illuminate for every kind).
 
     ``env``: optional Distribution2D over the background light's lat-long env
     map; when given, background lanes importance-sample it instead of the
-    uniform hemisphere."""
+    uniform hemisphere.
+
+    ``sphere_cone``: sphere-shaped area lights sample the subtended solid
+    angle uniformly (`SphereShape::Sample`, `SphereShape.cpp:65-95`) instead
+    of the surface area — far lower variance for small/distant spheres.  The
+    caller's BSDF-hit MIS pdf must then use :func:`sphere_cone_cos_max`."""
     zero = jnp.zeros_like(u1)
     one = jnp.ones_like(u1)
 
@@ -168,6 +184,29 @@ def illuminate(l: LightSlice, shading_pos: Vec3, shading_frame_normal: Vec3, u1,
     inv_area = 1.0 / jnp.maximum(l.area, 1e-8)
     pdf_area = inv_area * sqr_da / jnp.maximum(cos_at, 1e-4)
     area_ok = cos_at > 1e-7
+
+    if sphere_cone:
+        # sphere lights: uniform sample of the subtended cone
+        # (`SphereShape.cpp:65-95`)
+        radius = l.shape_param.x
+        cos_max, dc, outside = sphere_cone_cos_max(l.trans, radius, shading_pos)
+        axis = (l.trans - shading_pos) * (1.0 / jnp.maximum(dc, 1e-20))
+        cone_local = sampling.sample_cone(cos_max, u1, u2)
+        at, ab = sampling.build_onb(axis)
+        dir_s = sampling.local_to_world(cone_local, at, ab, axis)
+        cos_t = cone_local.z
+        under = radius * radius - dc * dc * (1.0 - cos_t * cos_t)
+        t_s = dc * cos_t - jnp.sqrt(jnp.maximum(under, 0.0))
+        hit = shading_pos + dir_s * t_s
+        n_s = normalize(hit - l.trans, eps=1e-20)
+        cos_at_s = dot(n_s, -dir_s)
+        pdf_s = sampling.sphere_cap_pdf(cos_max)
+        is_sph = l.shape_kind == SHAPE_SPHERE
+        dir_a = vwhere(is_sph, dir_s, dir_a)
+        dist_a = jnp.where(is_sph, t_s, dist_a)
+        cos_at = jnp.where(is_sph, cos_at_s, cos_at)
+        pdf_area = jnp.where(is_sph, pdf_s, pdf_area)
+        area_ok = jnp.where(is_sph, outside & (cos_at_s > 1e-7), area_ok)
 
     # --- background: env-map importance sampling when a distribution exists,
     #     else uniform hemisphere about the shading normal
