@@ -196,7 +196,14 @@ def illuminate(l: LightSlice, shading_pos: Vec3, shading_frame_normal: Vec3, u1,
         dir_s = sampling.local_to_world(cone_local, at, ab, axis)
         cos_t = cone_local.z
         under = radius * radius - dc * dc * (1.0 - cos_t * cos_t)
-        t_s = dc * cos_t - jnp.sqrt(jnp.maximum(under, 0.0))
+        # double-where: sqrt' at 0 is inf, and ``under`` is exactly 0 for the
+        # (masked) non-sphere lanes — 0-cotangent * inf = NaN would poison the
+        # camera-pose gradient through shading_pos (tests/test_gradients.py)
+        under_pos = under > 0.0
+        sqrt_under = jnp.where(
+            under_pos, jnp.sqrt(jnp.where(under_pos, under, 1.0)), 0.0
+        )
+        t_s = dc * cos_t - sqrt_under
         hit = shading_pos + dir_s * t_s
         n_s = normalize(hit - l.trans, eps=1e-20)
         cos_at_s = dot(n_s, -dir_s)
