@@ -55,9 +55,11 @@ class RenderParams:
     # each path samples one wavelength; dispersive dielectrics get a Cauchy
     # wavelength-dependent IoR and collapse the path to that wavelength
     spectral: bool = False
-    # unroll the bounce loop instead of lax.scan: larger program, but lets XLA
-    # optimize across bounces and (currently) avoids a scan-linearization
-    # numerical issue in reverse-mode AD — use for differentiable rendering
+    # unroll the bounce loop instead of lax.scan: larger program/compile time,
+    # but lets XLA optimize across bounces.  Purely a performance knob — AD is
+    # safe on both paths (the historical "scan-linearization NaN" was really a
+    # masked-lane 0*inf in the sphere-cone MIS pdf, fixed in ops/lights.py
+    # sphere_cone_cos_max / math/sampling.py sample_cone)
     unroll: bool = False
 
 

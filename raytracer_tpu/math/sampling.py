@@ -30,7 +30,9 @@ def uniform_circle_pdf(radius):
 
 
 def sphere_cap_pdf(cos_theta_max):
-    return 1.0 / (TWO_PI * (1.0 - cos_theta_max))
+    # guarded: cos_theta_max == 1 would give an inf primal (and a 0*inf NaN
+    # cotangent through masked-out lanes, e.g. non-sphere lights)
+    return 1.0 / (TWO_PI * jnp.maximum(1.0 - cos_theta_max, 1e-7))
 
 
 def cos_hemisphere_pdf(cos_theta):
@@ -116,9 +118,16 @@ def sample_gaussian2(u1, u2) -> tuple[jnp.ndarray, jnp.ndarray]:
 
 
 def sample_cone(cos_theta_max, u1, u2) -> Vec3:
-    """Uniform direction in a +Z cone of half-angle acos(cos_theta_max)."""
+    """Uniform direction in a +Z cone of half-angle acos(cos_theta_max).
+
+    AD-safe at cos_theta_max == 1 (degenerate cone): sqrt'(0) = inf would turn
+    a masked-out zero cotangent into NaN (0*inf), so the sqrt argument is
+    double-where'd — the derivative at the apex becomes 0 instead of inf.
+    """
     cos_theta = 1.0 + u1 * (cos_theta_max - 1.0)
-    sin_theta = jnp.sqrt(jnp.maximum(0.0, 1.0 - cos_theta * cos_theta))
+    s2 = 1.0 - cos_theta * cos_theta
+    pos = s2 > 0.0
+    sin_theta = jnp.where(pos, jnp.sqrt(jnp.where(pos, s2, 1.0)), 0.0)
     phi = TWO_PI * u2
     return Vec3(sin_theta * jnp.cos(phi), sin_theta * jnp.sin(phi), cos_theta)
 
@@ -146,7 +155,10 @@ def world_to_local(v_world: Vec3, t: Vec3, b: Vec3, n: Vec3) -> Vec3:
 
 
 def spherical_to_cartesian(phi, cos_theta) -> Vec3:
-    sin_theta = jnp.sqrt(jnp.maximum(0.0, 1.0 - cos_theta * cos_theta))
+    # AD-safe at |cos_theta| == 1 (see sample_cone)
+    s2 = 1.0 - cos_theta * cos_theta
+    pos = s2 > 0.0
+    sin_theta = jnp.where(pos, jnp.sqrt(jnp.where(pos, s2, 1.0)), 0.0)
     return Vec3(sin_theta * jnp.cos(phi), sin_theta * jnp.sin(phi), cos_theta)
 
 

@@ -138,8 +138,17 @@ def sphere_cone_cos_max(center: Vec3, radius, point: Vec3):
     (`SphereShape.cpp:65-75`). Returns (cos_max, dist_to_center, outside)."""
     to_c = center - point
     dc2 = dot(to_c, to_c)
-    dc = jnp.sqrt(jnp.maximum(dc2, 1e-20))
-    sin2_max = jnp.clip(radius * radius / jnp.maximum(dc2, 1e-20), 0.0, 1.0 - 1e-7)
+    dc = jnp.sqrt(jnp.maximum(dc2, 1e-12))
+    # AD-safety (camera-pose gradients flow through ``point``):
+    # - dc floored at 1e-6 so d(radius/dc)/d(dc) = -r/dc^2 cannot overflow to
+    #   inf (a 0-cotangent * inf = NaN on masked non-sphere lanes otherwise —
+    #   e.g. the background light sits at the camera origin, dc2 == 0 exactly)
+    # - ratio clamped to [2e-3, ~1] before squaring so cos_max stays strictly
+    #   inside (0, 1): cos_max == 1 makes sample_cone / sphere_cap_pdf
+    #   non-differentiable, and the clamp's zero gradient at the bound severs
+    #   the spurious backward path on those lanes.
+    ratio = jnp.clip(radius / jnp.maximum(dc, 1e-6), 2e-3, 1.0)
+    sin2_max = jnp.clip(ratio * ratio, 4e-6, 1.0 - 1e-7)
     cos_max = jnp.sqrt(1.0 - sin2_max)
     return cos_max, dc, dc2 > radius * radius
 
@@ -213,7 +222,8 @@ def illuminate(l: LightSlice, shading_pos: Vec3, shading_frame_normal: Vec3, u1,
         dist_a = jnp.where(is_sph, t_s, dist_a)
         cos_at = jnp.where(is_sph, cos_at_s, cos_at)
         pdf_area = jnp.where(is_sph, pdf_s, pdf_area)
-        area_ok = jnp.where(is_sph, outside & (cos_at_s > 1e-7), area_ok)
+        # ``under_pos``: the (eps-widened) cone sample actually hits the sphere
+        area_ok = jnp.where(is_sph, outside & under_pos & (cos_at_s > 1e-7), area_ok)
 
     # --- background: env-map importance sampling when a distribution exists,
     #     else uniform hemisphere about the shading normal
@@ -232,7 +242,10 @@ def illuminate(l: LightSlice, shading_pos: Vec3, shading_frame_normal: Vec3, u1,
     dir_dl_wide = -(l.rot.r0 * cone.x + l.rot.r1 * cone.y + l.rot.r2 * cone.z)
     is_delta_dl = l.cos_angle > 0.9999
     dir_dl = vwhere(is_delta_dl, -l.rot.r2, dir_dl_wide)
-    pdf_dl = jnp.where(is_delta_dl, 1.0, sampling.sphere_cap_pdf(l.cos_angle))
+    pdf_dl = jnp.where(
+        is_delta_dl, 1.0,
+        sampling.sphere_cap_pdf(jnp.minimum(l.cos_angle, 1.0 - 1e-6)),
+    )
 
     is_point = l.kind == LIGHT_POINT
     is_spot = l.kind == LIGHT_SPOT
