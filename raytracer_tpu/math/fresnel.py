@@ -10,22 +10,29 @@ import jax.numpy as jnp
 
 
 def fresnel_dielectric(n_dot_v: jnp.ndarray, eta: jnp.ndarray) -> jnp.ndarray:
-    """Dielectric Fresnel reflectance.
+    """Dielectric Fresnel reflectance — exact port of `Utils.cpp:9-29`.
 
-    ``n_dot_v`` is signed: > 0 means the ray exits the medium (the reference
-    then flips eta, `Utils.cpp:9-29`). ``eta`` is the material IoR.
-    Returns 1.0 on total internal reflection.
+    ``n_dot_v`` is signed: > 0 means the ray arrives from OUTSIDE the medium
+    (the reference then flips eta to 1/ior, `Utils.cpp:11-14`). ``eta`` is
+    the material IoR.  Returns 1.0 on total internal reflection (only
+    reachable from inside, as physics demands).
 
-    Note: we use the exact Cook-Torrance form ``g² = η² − 1 + c²`` (η = ratio
-    of transmitted to incident index along propagation).  The reference's
-    variant (`Utils.cpp:17`) uses ``g² = 1 − η²(1 − c²)`` which yields F = 0
-    at normal incidence — a known non-physical quirk we deliberately fix
-    (R₀ = ((n−1)/(n+1))² here).  Energy conservation is unaffected.
+    Bug-compatible on purpose: the reference uses ``g = cosθ_t`` (via
+    ``g² = 1 − η'²(1 − c²)``, η' = n_i/n_t) inside the Cook-Torrance shell,
+    which yields F = 0 at normal incidence instead of R₀ = ((n−1)/(n+1))².
+    Matching it is required for image agreement with the reference goldens
+    (tests/test_ref_agreement.py); it still satisfies 0 ≤ F ≤ 1, so energy
+    conservation holds.
+
+    A previous revision used the textbook ``g² = η² − 1 + c²`` with the eta
+    flip INVERTED — entering rays beyond ~42° hit the g² < 0 branch and
+    returned spurious TIR (F = 1), silently killing most off-normal
+    transmission/diffuse energy in dielectric and plastic lobes.
     """
     eta_eff = jnp.where(n_dot_v > 0.0, 1.0 / eta, eta)
     c = jnp.abs(n_dot_v)
-    g2 = eta_eff * eta_eff - 1.0 + c * c
-    tir = g2 < 0.0
+    g2 = 1.0 - eta_eff * eta_eff * (1.0 - c * c)
+    tir = g2 <= 0.0
     # 1e-12 floor: sqrt' at 0 is inf, and inf * materialized-zero tangent
     # = nan in reverse-mode AD (TIR lanes are masked by `tir` anyway)
     g = jnp.sqrt(jnp.maximum(g2, 1e-12))

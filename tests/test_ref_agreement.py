@@ -1,0 +1,99 @@
+"""Image agreement against the REFERENCE renderer's own output.
+
+The committed goldens (tests/goldens/*.exr) were rendered by the patched
+reference renderer built from source in this environment (see
+tools/ref_baseline/build_ref.sh + dump_goldens.cpp): 128x128, 512 passes,
+"Path Tracer MIS", maxRayDepth 8, AA spread 0.5, blue-noise off — the
+reference's own ValidateBitmap methodology (`Tests/RaytracingTests.cpp:
+241-259`) applied to its shipped TestScenes (`Data/TestScenes/*.json`).
+
+We render the same scene through our loader + MIS path tracer and compare
+4x4-downsampled radiance (box-filtering both images melts most MC noise, so
+the tolerances below probe SYSTEMATIC agreement, not variance).  Two metrics
+per scene:
+
+- mean relative error of the downsampled images,
+- global brightness ratio ours/golden (an unbiased-estimator check).
+
+Known, deliberate divergence: the reference's `Vector4::Refract3`
+(`Vector4.cpp:7-30`) "refracts" rays EXITING a medium through a tilted
+microfacet normal by computing the entering-form direction and flipping its
+z sign — physically wrong for rough dielectrics (verified against exact
+Snell refraction; the spread is tens of degrees at roughness 0.5).  We use
+exact refraction, so scenes dominated by rough-glass transmission
+(background_light_test: a roughness-0.5 dielectric sphere fills the frame)
+carry a wider tolerance and a documented ~+9% brightness ratio.
+"""
+
+import os
+import warnings
+
+import numpy as np
+import pytest
+
+from raytracer_tpu.integrators.path_tracer import RenderParams
+from raytracer_tpu.io.exr import read_exr
+from raytracer_tpu.io.scene_loader import load_scene
+from raytracer_tpu.render.renderer import Viewport, ViewportParams
+
+REF_SCENES = "/root/reference/Data/TestScenes"
+GOLDENS = os.path.join(os.path.dirname(__file__), "goldens")
+
+# scene -> (render passes, mean-rel tolerance, |ratio - 1| tolerance)
+# measured headroom: tolerances are ~1.5x the observed error at these pass
+# counts, so a systematic regression of a few percent trips the test while
+# seed-to-seed variance does not
+SCENES = {
+    "area_light_test": (64, 0.10, 0.03),
+    # rough-dielectric sphere fills the frame; reference Refract3 exit-ray
+    # quirk (see module docstring) => wider band, known +9% ratio
+    "background_light_test": (48, 0.16, 0.12),
+    "cornell_box": (64, 0.12, 0.03),
+    # area light almost fully occluded -> high-variance NEE; mean-rel is
+    # noise-dominated at this pass count but the ratio is tight
+    "cornell_box_obstructed": (64, 0.30, 0.03),
+    # 5-degree directional light + specular chains -> firefly-dominated
+    "directional_light_test": (64, 0.20, 0.03),
+    "dof_test": (4, 0.02, 0.01),
+    "furnace_test": (64, 0.02, 0.01),
+    "furnace_test_2": (64, 0.04, 0.01),
+    "material_perf_test": (4, 0.02, 0.01),
+    "materials_test": (48, 0.06, 0.03),
+    "mis_test": (64, 0.08, 0.03),
+}
+
+
+def _downsample(img: np.ndarray, f: int = 4) -> np.ndarray:
+    h, w, c = img.shape
+    return img.reshape(h // f, f, w // f, f, c).mean(axis=(1, 3))
+
+
+@pytest.mark.parametrize("name", sorted(SCENES))
+def test_golden_agreement(name):
+    passes, mean_tol, ratio_tol = SCENES[name]
+    golden = read_exr(os.path.join(GOLDENS, f"{name}.exr"))
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")  # missing-texture placeholders
+        scene, meta, cam = load_scene(
+            f"{REF_SCENES}/{name}.json", data_path="/root/reference/Data"
+        )
+    vp = Viewport(
+        scene, meta, cam,
+        ViewportParams(width=128, height=128, seed=0),
+        RenderParams(max_depth=8, mis=True),
+    )
+    vp.render(passes)
+    ours = vp.radiance()
+    assert np.isfinite(ours).all(), f"{name}: non-finite radiance"
+
+    g = _downsample(golden)
+    o = _downsample(ours)
+    rel = np.abs(o - g) / np.maximum(g, 1e-2)
+    mean_rel = float(rel.mean())
+    ratio = float(o.mean() / max(g.mean(), 1e-9))
+    assert mean_rel <= mean_tol, (
+        f"{name}: mean relative error {mean_rel:.4f} > {mean_tol}"
+    )
+    assert abs(ratio - 1.0) <= ratio_tol, (
+        f"{name}: brightness ratio {ratio:.4f} outside 1 +/- {ratio_tol}"
+    )

@@ -121,7 +121,10 @@ class TestAnalyticScenes:
             b.add_sphere(RigidTransform(translation=(0, 0, 3)), 1.0, m)
             b.add_light(LightDesc(kind=T.LIGHT_BACKGROUND, color=(env,) * 3))
 
-        img = render(build, params, passes=128)
+        # the reference runs this with 1000 passes at the same 0.075 tolerance
+        # (`RaytracingTests.cpp:475-523`); 256 passes is enough since the
+        # Fresnel-stratified lobe choice keeps per-pixel variance low
+        img = render(build, params, passes=256)
         assert_image_near(img, (env,) * 3, 0.075)
 
 

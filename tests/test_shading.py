@@ -47,18 +47,43 @@ def _wo(theta_deg, n=N):
 
 class TestFresnel:
     def test_dielectric_normal_incidence(self):
-        # R0 = ((n-1)/(n+1))^2 = 0.04 for n=1.5
-        f = fresnel_dielectric(jnp.float32(-1.0), jnp.float32(1.5))
-        np.testing.assert_allclose(float(f), 0.04, atol=1e-3)
+        # the reference formula (`Utils.cpp:9-29`, replicated bug-for-bug for
+        # golden-image agreement) yields F = 0 at normal incidence instead of
+        # the physical R0 = 0.04 — see math/fresnel.py docstring
+        f = fresnel_dielectric(jnp.float32(1.0), jnp.float32(1.5))
+        np.testing.assert_allclose(float(f), 0.0, atol=1e-6)
+
+    def test_dielectric_matches_reference_table(self):
+        """Values computed by a literal float64 port of `Utils.cpp:9-29`."""
+        cases = [  # (n_dot_v, expected F) for ior=1.5
+            (0.9, 0.000660), (0.7, 0.006507), (0.5, 0.031414),
+            (0.3, 0.131089), (0.1, 0.507744),
+        ]
+        for c, expect in cases:
+            f = float(fresnel_dielectric(jnp.float32(c), jnp.float32(1.5)))
+            np.testing.assert_allclose(f, expect, rtol=1e-3)
 
     def test_dielectric_grazing(self):
-        f = fresnel_dielectric(jnp.float32(-0.001), jnp.float32(1.5))
+        f = fresnel_dielectric(jnp.float32(0.001), jnp.float32(1.5))
         assert float(f) > 0.98
 
+    def test_no_spurious_tir_entering(self):
+        """Regression: entering a denser medium NEVER totally reflects.  A
+        previous eta-flip inversion returned F = 1 for all n_dot_v < ~0.745
+        from outside, silently absorbing most off-normal dielectric/plastic
+        energy (materials_test.json was ~2.3x dark)."""
+        c = jnp.linspace(0.01, 1.0, 128)
+        f = np.asarray(fresnel_dielectric(c, jnp.float32(1.5)))
+        assert (f < 1.0).all()
+
     def test_total_internal_reflection(self):
-        # exiting at > critical angle (sin_c = 1/1.5 -> cos_c ~ 0.745)
-        f = fresnel_dielectric(jnp.float32(0.3), jnp.float32(1.5))
+        # exiting at > critical angle (sin_c = 1/1.5 -> cos_c ~ 0.745);
+        # n_dot_v < 0 = ray arrives from INSIDE the medium
+        f = fresnel_dielectric(jnp.float32(-0.3), jnp.float32(1.5))
         assert float(f) == 1.0
+        # below the critical angle light does escape
+        f2 = fresnel_dielectric(jnp.float32(-0.9), jnp.float32(1.5))
+        assert float(f2) < 1.0
 
     def test_metal_reflectance_range(self):
         c = jnp.linspace(0.01, 1.0, 64)
@@ -104,6 +129,41 @@ class TestGGX:
         c = jnp.linspace(0.05, 1.0, 64)
         g = np.asarray(ggx_g1(jnp.float32(0.25), c))
         assert (g > 0).all() and (g <= 1.0 + 1e-6).all()
+
+    def test_tiny_roughness_finite(self):
+        """Regression: at roughness 0.01 (alpha_sq = 1e-8, below f32 eps) the
+        textbook groupings cancel catastrophically — D(m.z=1) returned inf and
+        sample weights went inf/inf = nan (materials_test.json glass_0)."""
+        u1, u2, _ = _uniforms(0)
+        for rough in (0.01, 0.006, 0.02):
+            a2 = jnp.float32(rough**4)
+            m = ggx_sample(a2, u1, u2)
+            d = ggx_d(a2, m.z)
+            p = ggx_pdf(a2, m.z)
+            assert np.isfinite(np.asarray(d)).all(), rough
+            assert np.isfinite(np.asarray(p)).all(), rough
+            # the sampled lobe must not collapse to an exact delta: the
+            # angular spread is ~alpha = rough^2
+            sin2 = np.asarray(m.x**2 + m.y**2)
+            assert sin2.max() > 0.1 * rough**4
+
+    def test_tiny_roughness_sample_weight_finite(self):
+        from raytracer_tpu.ops.bsdf import MatParams, sample
+        from raytracer_tpu.scene.types import BSDF_ROUGH_DIELECTRIC
+
+        n = 256
+        rng = np.random.default_rng(3)
+        u1, u2, u3 = (jnp.asarray(rng.random(n, np.float32)) for _ in range(3))
+        wo = Vec3(jnp.full(n, 0.3), jnp.full(n, 0.1), jnp.full(n, 0.946))
+        mp = MatParams(
+            bsdf=jnp.full(n, BSDF_ROUGH_DIELECTRIC, jnp.int32),
+            base_color=Vec3.ones(n), emission=Vec3.zeros(n),
+            roughness=jnp.full(n, 0.01), metalness=jnp.zeros(n),
+            ior=jnp.full(n, 1.5), k=jnp.zeros(n),
+        )
+        s = sample(mp, wo, u1, u2, u3)
+        for arr in (s.weight.x, s.weight.y, s.weight.z, s.pdf):
+            assert np.isfinite(np.asarray(arr)).all()
 
 
 class TestBsdfSampleEvalAgreement:
