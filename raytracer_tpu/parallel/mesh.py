@@ -79,14 +79,14 @@ def render_pass_sharded(
         jax.shard_map,
         mesh=mesh,
         in_specs=(P(), P(), film_spec, P()) + halton_specs,
-        out_specs=film_spec,
+        out_specs=(film_spec, P()),
         check_vma=False,
     )
     def shard_fn(scene, cam, film_shard, pass_idx, *maybe_halton):
         band = jax.lax.axis_index(AXIS)
         row0 = band * rows_per
         h = maybe_halton[0] if maybe_halton else None
-        radiance, _counters = trace_rows(
+        radiance, counters = trace_rows(
             scene, meta, cam, pass_idx, h, vp, params, rows=rows_per, row0=row0
         )
         frame = jnp.stack(
@@ -98,12 +98,16 @@ def render_pass_sharded(
             axis=-1,
         )
         use_secondary = pass_idx % 2 == 0
-        return Film(
+        film_out = Film(
             sum=film_shard.sum + frame,
             secondary_sum=jnp.where(use_secondary, film_shard.secondary_sum + frame, film_shard.secondary_sum),
             num_passes=film_shard.num_passes + 1,
             num_secondary_passes=film_shard.num_secondary_passes + use_secondary.astype(jnp.int32),
         )
+        # whole-frame ray accounting (the reference merges per-thread counters
+        # after each pass, `Viewport.cpp:282-287`); one psum over ICI
+        counters = jax.tree.map(lambda c: jax.lax.psum(c, AXIS), counters)
+        return film_out, counters
 
     return shard_fn(scene, cam, film, pass_idx, *halton_operands)
 
