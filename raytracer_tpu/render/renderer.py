@@ -191,6 +191,7 @@ class Viewport:
         self.film = make_film(vp_params.width, vp_params.height)
         self.total_rays = 0.0
         self.total_shadow_rays = 0.0
+        self.total_overflow = 0.0
 
         self._pass_fn = _jitted_render_pass
 
@@ -199,6 +200,7 @@ class Viewport:
         self.film = make_film(self.vp_params.width, self.vp_params.height)
         self.total_rays = 0.0
         self.total_shadow_rays = 0.0
+        self.total_overflow = 0.0
 
     def render(self, n_passes: int = 1):
         """Run ``n_passes`` accumulation passes (`Viewport::Render`)."""
@@ -213,6 +215,8 @@ class Viewport:
             )
             self.total_rays += float(counters.num_rays)
             self.total_shadow_rays += float(counters.num_shadow_rays)
+            if counters.num_overflow is not None:
+                self.total_overflow += float(counters.num_overflow)
         return self
 
     def radiance(self) -> np.ndarray:
@@ -229,6 +233,9 @@ class Viewport:
             "passes_finished": int(self.film.num_passes),
             "total_rays": self.total_rays,
             "total_shadow_rays": self.total_shadow_rays,
+            # truncation diagnostics from budgeted traversal backends
+            # (ops/traverse.py) — nonzero means raise the candidate budget
+            "total_traversal_overflow": self.total_overflow,
         }
 
     def save_checkpoint(self, path: str):

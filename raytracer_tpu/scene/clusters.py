@@ -40,6 +40,17 @@ class ClusterSet(NamedTuple):
     box_max_z: jnp.ndarray
     tri_block: jnp.ndarray  # (C, K*9) f32: K x (v0, e1, e2); degenerate pads
     tri_id: jnp.ndarray  # (C, K) int32 reordered-triangle ids, -1 = pad
+    # complete 8-ary tree over the Morton-ordered clusters (see
+    # build_cluster_tree): level i holds 8^(i+1) nodes; node j's children are
+    # nodes [8j, 8j+8) of level i+1; the LAST level's node j covers cluster j
+    # (padded with empty boxes past num_clusters).  Tuple of (Ni, 6) arrays
+    # [min.xyz, max.xyz]; empty => min > max, unhittable.
+    tree_levels: tuple = ()
+    # (C, 8, 128) f32: tri_block + bitcast tri_id packed into ONE full VPU
+    # tile per cluster, so the streaming kernel DMAs a cluster with a single
+    # tile-aligned copy (Mosaic rejects sub-tile DMA slices).  Flat layout:
+    # [0:K*9) = geometry, [K*9:K*10) = ids as f32 values, rest zero.
+    stream_block: jnp.ndarray = None
 
     @property
     def num_clusters(self) -> int:
@@ -105,4 +116,60 @@ def build_clusters(
         box_max_z=jnp.asarray(vmax[:, 2]),
         tri_block=jnp.asarray(blocks.reshape(c, k * 9)),
         tri_id=jnp.asarray(ids.reshape(c, k)),
+        tree_levels=_build_cluster_tree(vmin, vmax),
+        stream_block=_pack_stream_blocks(
+            blocks.reshape(c, k * 9), ids.reshape(c, k), vmin, vmax
+        ),
     )
+
+
+def _pack_stream_blocks(
+    tri_block: np.ndarray, tri_id: np.ndarray, vmin: np.ndarray, vmax: np.ndarray
+) -> jnp.ndarray:
+    """Pack (geometry, ids, cluster box) into whole (8, 128) tiles.
+
+    Flat layout: [0:9K) geometry, [9K:10K) ids as f32 values (exact to 2^24;
+    -1 = pad — scalar bitcast is unavailable in the kernel, float
+    compare/convert is), [10K:10K+6) cluster AABB min.xyz/max.xyz.
+    """
+    c, k9 = tri_block.shape
+    k = tri_id.shape[1]
+    flat_len = k9 + k + 6
+    tiles = (flat_len + 1023) // 1024
+    out = np.zeros((c, tiles * 1024), np.float32)
+    out[:, :k9] = tri_block
+    out[:, k9 : k9 + k] = tri_id.astype(np.float32)
+    out[:, k9 + k : k9 + k + 3] = vmin
+    out[:, k9 + k + 3 : k9 + k + 6] = vmax
+    return jnp.asarray(out.reshape(c, tiles * 8, 128))
+
+
+def _build_cluster_tree(vmin: np.ndarray, vmax: np.ndarray) -> tuple:
+    """Complete 8-ary box tree over the Morton-ordered cluster boxes.
+
+    Clusters are already Morton-sorted (consecutive ids are spatially
+    adjacent), so grouping 8 consecutive nodes per parent yields an
+    LBVH-style treelet with decent boxes at zero build cost.  The last level
+    is the clusters themselves padded to a power of 8 with EMPTY boxes
+    (min > max => no ray hits them).  Used by the per-block BFS candidate
+    pass (`ops/pallas_traverse.py`).
+    """
+    c = vmin.shape[0]
+    depth = 1
+    while 8**depth < c:
+        depth += 1
+    cap = 8**depth
+    lo = np.full((cap, 3), np.float32(3e38))
+    hi = np.full((cap, 3), np.float32(-3e38))
+    lo[:c] = vmin
+    hi[:c] = vmax
+    levels = [np.concatenate([lo, hi], axis=1).astype(np.float32)]
+    while levels[0].shape[0] > 8:
+        cur = levels[0]
+        n = cur.shape[0] // 8
+        grp = cur.reshape(n, 8, 6)
+        parent = np.concatenate(
+            [grp[:, :, 0:3].min(axis=1), grp[:, :, 3:6].max(axis=1)], axis=1
+        )
+        levels.insert(0, parent.astype(np.float32))
+    return tuple(jnp.asarray(l) for l in levels)
