@@ -125,7 +125,7 @@ def trace_light_wavefront(
         f_cam, _pdf = bsdf_ops.evaluate(mp, wo_local, wi_local)
         fu, fv, on_film = world_to_film(cam, frame.position)
         shadow_origin = frame.position + frame.normal * SHADOW_OFFSET
-        visible = ~scene_occluded(scene, shadow_origin, dir_to_cam, dist * 0.999)
+        visible = ~scene_occluded(scene, shadow_origin, dir_to_cam, dist * 0.999)[0]
         cam_pdf_a = camera_pdf_w(cam, -dir_to_cam) / jnp.maximum(d2, 1e-12)
         contrib = f_cam * state.throughput * cam_pdf_a
         splat_mask = hit_surface & on_film & visible & (max_component(f_cam) > 0.0)

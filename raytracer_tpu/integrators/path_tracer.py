@@ -172,7 +172,8 @@ def _sample_lights_nee(
     mp, wo_local, pick_prob, is_last, stream: SampleStream, time=None,
 ):
     """NEE (`PathTracerMIS.cpp:43-155`): 'single' picks one light uniformly,
-    'all' loops every light. Returns (contribution, n_shadow_rays, stream)."""
+    'all' loops every light. Returns (contribution, n_shadow_rays,
+    n_shadow_overflow, stream)."""
     n_lights = max(meta.n_lights, 1)
     u_pick, stream = next_1d(stream)
     if params.light_strategy == "all" and n_lights > 1:
@@ -184,6 +185,7 @@ def _sample_lights_nee(
 
     total = Vec3.full(jnp.zeros_like(wo_local.x))
     n_shadow = jnp.zeros((), jnp.float32)
+    n_overflow = jnp.zeros((), jnp.float32)
     for light_idx in light_indices:
         l = gather_light(scene.lights, light_idx)
         u1, u2, u3, stream = next_3d(stream)
@@ -201,8 +203,13 @@ def _sample_lights_nee(
 
         shadow_origin = frame.position + ill.dir_to_light * SHADOW_OFFSET
         max_t = jnp.minimum(ill.distance * 0.999, BIG)
-        occluded = scene_occluded(scene, shadow_origin, ill.dir_to_light, max_t, time=time)
+        occluded, sh_ovf = scene_occluded(
+            scene, shadow_origin, ill.dir_to_light, max_t, time=time
+        )
         n_shadow = n_shadow + jnp.sum((ill.valid & f_nonzero).astype(jnp.float32))
+        n_overflow = n_overflow + jnp.sum(
+            (ill.valid & f_nonzero & sh_ovf).astype(jnp.float32)
+        )
 
         w = jnp.where(
             (~l.is_delta) & (~is_last),
@@ -215,7 +222,7 @@ def _sample_lights_nee(
             * (ill.valid & f_nonzero & (~occluded)).astype(jnp.float32)
         )
         total = total + radiance * f * scale
-    return total, n_shadow, stream
+    return total, n_shadow, n_overflow, stream
 
 
 def trace_radiance(
@@ -333,11 +340,12 @@ def trace_radiance(
         is_last = depth >= params.max_depth
         num_shadow = state.num_shadow_rays
         if params.mis:
-            nee, n_sh, stream = _sample_lights_nee(
+            nee, n_sh, n_sh_ovf, stream = _sample_lights_nee(
                 scene, meta, params, frame, mp, wo_local, pick_prob, is_last, stream,
                 time=time,
             )
             num_shadow = num_shadow + n_sh
+            num_overflow = num_overflow + n_sh_ovf
             result = result + state.throughput * nee * survive.astype(jnp.float32)
 
         # --- depth cap (`PathTracerMIS.cpp:320-325`) ---------------------------

@@ -198,7 +198,7 @@ def _trace_light_phase(scene, meta, cam, stream, vcm: VcmParams, n_paths,
         fu, fv, on_film = world_to_film(cam, frame.position)
         visible = ~scene_occluded(
             scene, frame.position + frame.normal * SHADOW_OFFSET, dir_to_cam, dist * 0.999
-        )
+        )[0]
         cos_to_cam = dot(dir_to_cam, frame.normal)
         cam_pdf_a = camera_pdf_w(cam, -dir_to_cam) * jnp.maximum(cos_to_cam, 0.0) / jnp.maximum(d2, 1e-12)
         # NOTE on count factors: with our film normalization (splat
@@ -432,7 +432,7 @@ def render_pass_vcm(
                     ill.dir_to_light, frame.tangent, frame.bitangent, frame.normal
                 )
                 f, pdf_fwd, pdf_rev = bsdf_ops.evaluate_with_rev(mp, wo_local, wi_local)
-                occluded = scene_occluded(
+                occluded, _sh_ovf = scene_occluded(
                     scene,
                     frame.position + ill.dir_to_light * SHADOW_OFFSET,
                     ill.dir_to_light,
@@ -512,7 +512,7 @@ def render_pass_vcm(
             lwi_local = world_to_local(-ldir, lv_tan, lv_bit, lv_nrm)
             f_light, light_pdf_f, light_pdf_r = bsdf_ops.evaluate_with_rev(lv_mat, lwo_local, lwi_local)
             geom = 1.0 / jnp.maximum(d2v, 1e-12)
-            occluded = scene_occluded(scene, c_pos + ldir * SHADOW_OFFSET, ldir, distv * 0.999)
+            occluded = scene_occluded(scene, c_pos + ldir * SHADOW_OFFSET, ldir, distv * 0.999)[0]
             cam_pdf_a = cam_pdf_f * jnp.maximum(cos_light_v, 1e-6) / jnp.maximum(d2v, 1e-12)
             light_pdf_a = light_pdf_f * jnp.maximum(cos_cam_v, 1e-6) / jnp.maximum(d2v, 1e-12)
             w_light = _mis(cam_pdf_a) * (mis_vm_factor_vc + lv_dvcm + lv_dvc * _mis(light_pdf_r))

