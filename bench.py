@@ -3,27 +3,34 @@
 Prints ONE JSON line per metric: {"metric", "value", "unit", "vs_baseline"}.
 The driver consumes the FIRST line; further lines are extra diagnostics.
 
-Two configs:
-- analytic Cornell box (512^2, depth 6, MIS) — the apples-to-apples config
-  measured against the reference renderer built from source on this host
-  (tools/ref_baseline): 3.95 Mray/s on the 2-core AVX2 CPU.
-- 200k-triangle mesh scene (256^2, depth 4, MIS) — exercises the production
-  mesh traversal path (sorted-wavefront Pallas cluster kernel on TPU); the
-  reference baseline for this config was measured with the same harness
-  (tools/ref_baseline mesh mode): see BASELINE.md.
+Two configs, each measured against the reference renderer built from source
+on this host (tools/ref_baseline/build_ref.sh, 2-core AVX2 CPU):
+
+- analytic Cornell box (512^2, depth 6, MIS) vs the reference's 3.95 Mray/s
+  on the identical scene (tools/ref_baseline/ref_baseline.cpp);
+- 200k-triangle heightfield mesh (512^2, depth 6, MIS) vs the reference's
+  MEASURED 3.26 Mray/s on the IDENTICAL scene: both renderers load the same
+  JSON + OBJ emitted by tools/bench_mesh.py, and the reference number comes
+  from tools/ref_baseline/bench_scene.cpp run on this host (BASELINE.md).
+
+Timing note: completion is forced with a host transfer of the accumulated
+film — under the axon TPU transport, block_until_ready alone returns before
+device work finishes and understates wall time.
 """
 
 import json
 import time
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 
 # reference renderer on this environment's host CPU (tools/ref_baseline)
 REF_CORNELL_MRAYS = 3.95
-# reference CPU on the same 200k-tri mesh config — measured via
-# tools/ref_baseline (see BASELINE.md); fallback estimate if not yet measured
-REF_MESH_MRAYS = 3.3
+# reference CPU on the SAME bench-mesh scene (tools/ref_baseline/bench_scene,
+# /tmp/raytracer_bench/bench_mesh_200k.json, 512^2 x 8 passes, depth 6):
+# measured 3.26 Mray/s — see BASELINE.md "mesh scene" row
+REF_MESH_MRAYS = 3.26
 
 
 def bench_scene(scene, meta, cam, size, params, n_passes):
@@ -33,12 +40,13 @@ def bench_scene(scene, meta, cam, size, params, n_passes):
     vp = ViewportParams(width=size, height=size, seed=0)
     film = make_film(vp.width, vp.height)
     film, counters = _jitted_render_pass(scene, meta, cam, film, jnp.int32(0), None, vp, params)
-    jax.block_until_ready(film.sum)
+    np.asarray(film.sum)  # force completion (axon: block_until_ready lies)
 
     t0 = time.perf_counter()
     for i in range(1, n_passes + 1):
+        # passes chain through `film`, so forcing the last sum times them all
         film, counters = _jitted_render_pass(scene, meta, cam, film, jnp.int32(i), None, vp, params)
-    jax.block_until_ready(film.sum)
+    np.asarray(film.sum)
     dt = time.perf_counter() - t0
     total_rays = float(counters.num_rays + counters.num_shadow_rays) * n_passes
     overflow = float(counters.num_overflow) if counters.num_overflow is not None else 0.0
@@ -49,7 +57,7 @@ def main():
     from raytracer_tpu.integrators.path_tracer import RenderParams
     from raytracer_tpu.math.transform import RigidTransform
     from raytracer_tpu.scene.camera import make_camera
-    from raytracer_tpu.scene.presets import cornell_box, cornell_camera_kw, random_mesh_scene
+    from raytracer_tpu.scene.presets import cornell_box, cornell_camera_kw
 
     on_tpu = jax.devices()[0].platform != "cpu"
 
@@ -70,15 +78,22 @@ def main():
         "vs_baseline": round(mrays / REF_CORNELL_MRAYS, 3),
     }))
 
-    # --- mesh + traversal (SURVEY hard part #1) -----------------------------
-    mscene, mmeta = random_mesh_scene(200_000 if on_tpu else 20_000, seed=0)
-    mcam = make_camera(
-        RigidTransform(translation=(0.0, 0.0, -4.0)), fov_deg=55.0
-    )
+    # --- mesh + traversal (SURVEY hard part #1): the SAME scene the
+    # reference harness measures (tools/bench_mesh.py emits one JSON + OBJ
+    # consumed by both renderers) --------------------------------------------
+    import sys
+    import os
+
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools"))
+    from bench_mesh import ensure_scene
+    from raytracer_tpu.io.scene_loader import load_scene
+
+    mesh_json = ensure_scene(200_000 if on_tpu else 20_000)
+    mscene, mmeta, mcam = load_scene(mesh_json)
     mesh_mrays, overflow = bench_scene(
         mscene, mmeta, mcam,
-        size=256 if on_tpu else 64,
-        params=RenderParams(max_depth=4, mis=True),
+        size=512 if on_tpu else 64,
+        params=RenderParams(max_depth=6, mis=True),
         n_passes=4 if on_tpu else 1,
     )
     print(json.dumps({

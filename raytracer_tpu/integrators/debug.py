@@ -68,6 +68,9 @@ def render_debug(
 
         tri_frame = eval_tri_frame(scene.tris, hits_safe, rays.origin, rays.dir)
         frame = _merge_frames(hits.tri_id >= 0, tri_frame, frame)
+    from ..ops.materials import apply_normal_map
+
+    frame = apply_normal_map(scene, frame)
     mp = resolve_material(scene, frame.material_id, frame.tex_u, frame.tex_v)
 
     if mode == MODE_CAMERA_LIGHT:

@@ -104,6 +104,9 @@ def trace_light_wavefront(
 
             tri_frame = eval_tri_frame(scene.tris, hits, state.origin, state.direction)
             frame = _merge_frames(hits.tri_id >= 0, tri_frame, frame)
+        from ..ops.materials import apply_normal_map
+
+        frame = apply_normal_map(scene, frame)
 
         # stop on miss or on hitting a light (`LightTracer.cpp:79-87`)
         hit_surface = state.alive & (~miss) & (frame.light_id < 0)

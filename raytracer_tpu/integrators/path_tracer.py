@@ -292,6 +292,9 @@ def trace_radiance(
 
             tri_frame = eval_tri_frame(scene.tris, hits, state.origin, state.direction)
             frame = _merge_frames(hits.tri_id >= 0, tri_frame, frame)
+        from ..ops.materials import apply_normal_map
+
+        frame = apply_normal_map(scene, frame)
 
         # --- direct light hit (`PathTracerMIS.cpp:174-212`) -------------------
         hit_light = state.alive & (~miss) & (frame.light_id >= 0)
@@ -315,6 +318,22 @@ def trace_radiance(
         direct_pdf_w = jnp.where(
             is_sphere_area & outside_s, sphere_cap_pdf(cos_max), direct_pdf_w
         )
+        # rect lights: NEE samples the Urena spherical quad, so the MIS pdf
+        # of "light sampling would have chosen this direction" is 1/S
+        # (`RectShape.cpp:66-94`); S measured from the previous vertex
+        from ..math.sampling import spherical_quad_prepare
+        from ..scene.types import SHAPE_RECT
+
+        hx_r, hy_r = l_hit.shape_param.x, l_hit.shape_param.y
+        corner = l_hit.rot.to_world(
+            Vec3(-hx_r, -hy_r, jnp.zeros_like(hx_r))
+        ) + l_hit.trans
+        quad = spherical_quad_prepare(
+            corner, l_hit.rot.r0 * (2.0 * hx_r), l_hit.rot.r1 * (2.0 * hy_r),
+            state.origin,
+        )
+        is_rect_area = (l_hit.kind == LIGHT_AREA) & (l_hit.shape_kind == SHAPE_RECT)
+        direct_pdf_w = jnp.where(is_rect_area, 1.0 / quad[-1], direct_pdf_w)
         use_mis = (depth > 0) & (~state.last_specular)
         w_light = jnp.where(
             use_mis, _combine_mis(state.last_pdf, direct_pdf_w * pick_prob), 1.0

@@ -16,9 +16,17 @@ three ways:
 
 All estimators are combined with the recursive dVC/dVM/dVCM MIS quantities
 (`VCM.cpp:186-193,217-224,374-381,500-520,556-570` — balance heuristic,
-``Mis(x) = x``).  Collectives note: in the multi-chip setting the photon map
-is all-gathered across devices before the camera phase (SURVEY §2.9 P4);
-single-chip path here, the all_gather hook lives in parallel/mesh.py.
+``Mis(x) = x``).
+
+Multi-chip (SURVEY §2.9 P4): ``render_pass_vcm`` takes ``rows``/``row0``/
+``axis_name`` — under `shard_map` each device traces its own pixel band's
+light AND camera paths (vertex connections pair same-pixel paths, so they
+stay device-local, like the reference pairing each pixel's two sub-paths),
+`all_gather`s the photon fields over ICI before the grid build (the analogue
+of concatenating per-thread photon lists + the single-threaded grid build,
+`VertexConnectionAndMerging.cpp:140-170`), and `psum`s the light-tracing
+splat frame (splats land on arbitrary pixels).  Driven by
+`parallel/mesh.py:render_pass_vcm_sharded`.
 """
 
 from __future__ import annotations
@@ -101,6 +109,9 @@ def _shade_frame(scene, hits, origin, direction):
 
         tri_frame = eval_tri_frame(scene.tris, hits, origin, direction)
         frame = _merge_frames(hits.tri_id >= 0, tri_frame, frame)
+    from ..ops.materials import apply_normal_map
+
+    frame = apply_normal_map(scene, frame)
     return frame
 
 
@@ -265,6 +276,17 @@ def _trace_light_phase(scene, meta, cam, stream, vcm: VcmParams, n_paths,
     return vertices, splats, state.stream
 
 
+class _Photons(NamedTuple):
+    """Photon fields for grid build + merging (32-byte `Photon`, `VCM.h:72-87`)
+    — the all_gather'd subset of the stored vertices in multi-chip runs."""
+
+    pos: Vec3
+    wo: Vec3
+    thr: Vec3
+    d_vm: jnp.ndarray
+    d_vcm: jnp.ndarray
+
+
 def render_pass_vcm(
     scene: SceneData,
     meta: SceneMeta,
@@ -275,10 +297,19 @@ def render_pass_vcm(
     vp,
     params,  # RenderParams (unused fields ok)
     vcm: VcmParams = VcmParams(),
+    rows: int | None = None,
+    row0=0,
+    axis_name: str | None = None,
 ):
-    """One full VCM pass: light phase -> photon grid -> camera phase."""
+    """One full VCM pass: light phase -> photon grid -> camera phase.
+
+    ``rows``/``row0``/``axis_name``: pixel-band mode under `shard_map` —
+    this device traces the band's light+camera paths, all_gathers photons
+    and psums the splat frame over ``axis_name`` (module docstring)."""
     w, h = vp.width, vp.height
-    n = w * h
+    rows_ = h if rows is None else rows
+    n = w * rows_  # paths on THIS device
+    n_total = w * h  # global light-path count (normalizations use this)
     n_lights = max(meta.n_lights, 1)
     light_pick = 1.0 / n_lights
 
@@ -290,44 +321,68 @@ def render_pass_vcm(
         vcm.initial_radius * vcm.radius_multiplier ** jnp.maximum(p - 1, 0.0),
         vcm.min_radius,
     )
-    vm_norm = 1.0 / (jnp.pi * r_vm * r_vm * n)
-    eta_vcm_vc = jnp.pi * r_vc * r_vc * n
+    vm_norm = 1.0 / (jnp.pi * r_vm * r_vm * n_total)
+    eta_vcm_vc = jnp.pi * r_vc * r_vc * n_total
     if vcm.use_vertex_merging:
         mis_vm_factor_vc = jnp.where(pass_idx > 0, _mis(eta_vcm_vc), 0.0)
     else:
         mis_vm_factor_vc = jnp.float32(0.0)
     mis_vc_factor_vc = _mis(1.0 / eta_vcm_vc) if vcm.use_vertex_connection else 0.0
-    eta_vcm_vm = jnp.pi * r_vm * r_vm * n
+    eta_vcm_vm = jnp.pi * r_vm * r_vm * n_total
     mis_vc_factor_vm = _mis(1.0 / eta_vcm_vm) if vcm.use_vertex_connection else 0.0
 
     # ---------------- light phase ----------------
-    path_ids = jnp.arange(n, dtype=jnp.uint32)
+    # global path ids: any row partitioning yields the same streams
+    path_ids = (jnp.arange(n) + jnp.asarray(row0) * w).astype(jnp.uint32)
     lstream = make_stream(path_ids, pass_idx, seed=vp.seed + 0x5EC, halton=None)
     vertices, splats, _ = _trace_light_phase(
         scene, meta, cam, lstream, vcm, n, mis_vc_factor_vc, mis_vm_factor_vc
     )
-    film = splat_to_film(film, splats, w, h)
+    if axis_name is None:
+        film = splat_to_film(film, splats, w, h)
+    else:
+        # splats land on arbitrary pixels: accumulate a full frame, reduce
+        # over ICI, keep this device's band (per-thread splat merge analogue)
+        from ..render.film import make_film
+
+        tmp = splat_to_film(make_film(w, h), splats, w, h)
+        frame = jax.lax.psum(tmp.sum, axis_name)
+        band = jax.lax.dynamic_slice(
+            frame, (jnp.asarray(row0), 0, 0), (rows_, w, 3)
+        )
+        film = film._replace(sum=film.sum + band)
 
     # photon array = all valid vertices, flattened (D*N,)
     def flat(x):
         return x.reshape((-1,) + x.shape[2:])
 
-    photons_pos = Vec3(flat(vertices.position.x), flat(vertices.position.y), flat(vertices.position.z))
     photon_valid = flat(vertices.valid)
     # park invalid photons far away so grid queries never match them
     far = 3.0e18
-    photons_pos = Vec3(
-        jnp.where(photon_valid, photons_pos.x, far),
-        jnp.where(photon_valid, photons_pos.y, far),
-        jnp.where(photon_valid, photons_pos.z, far),
+    photons = _Photons(
+        pos=Vec3(
+            jnp.where(photon_valid, flat(vertices.position.x), far),
+            jnp.where(photon_valid, flat(vertices.position.y), far),
+            jnp.where(photon_valid, flat(vertices.position.z), far),
+        ),
+        wo=Vec3(flat(vertices.wo_world.x), flat(vertices.wo_world.y), flat(vertices.wo_world.z)),
+        thr=Vec3(flat(vertices.throughput.x), flat(vertices.throughput.y), flat(vertices.throughput.z)),
+        d_vm=flat(vertices.d_vm),
+        d_vcm=flat(vertices.d_vcm),
     )
-    grid = build_hash_grid(photons_pos, r_vm)
+    if axis_name is not None:
+        # SURVEY P4: gather every device's photons over ICI before the grid
+        # build (`VCM.cpp:140-170`'s cross-thread concat + global build)
+        photons = jax.tree.map(
+            lambda x: jax.lax.all_gather(x, axis_name, tiled=True), photons
+        )
+    grid = build_hash_grid(photons.pos, r_vm)
 
     # ---------------- camera phase ----------------
     from ..render.renderer import pixel_grid
     from ..scene.camera import generate_rays
 
-    cx, cy, pids = pixel_grid(w, h)
+    cx, cy, pids = pixel_grid(w, h, rows, row0)
     cstream = make_stream(pids, pass_idx, seed=vp.seed, halton=halton)
     rays, cstream = generate_rays(cam, cx, cy, cstream)
 
@@ -370,10 +425,21 @@ def render_pass_vcm(
             if kind != LIGHT_BACKGROUND:
                 continue
             radiance = _env_radiance(scene, li, state.direction)
-            direct_pdf_a = 1.0 / (2.0 * jnp.pi)
-            emission_pdf_w = (1.0 / (4.0 * jnp.pi)) * (
-                1.0 / (jnp.pi * 30.0 * 30.0)
-            )  # sphere pdf * circle pdf(SceneRadius=30)
+            # NEE's actual direct pdf: env importance map when present
+            # (matches PT's `_eval_global_lights` and the `illuminate(env=)`
+            # call in the connection phase below), uniform hemisphere else
+            if scene.env_dist is not None:
+                from ..ops.lights import env_direction_pdf
+
+                direct_pdf_a = env_direction_pdf(scene.env_dist, state.direction)
+            else:
+                direct_pdf_a = 1.0 / (2.0 * jnp.pi)
+            from ..ops.lights import SCENE_RADIUS
+            from ..math import sampling as _sampling
+
+            emission_pdf_w = _sampling.uniform_sphere_pdf() * _sampling.uniform_circle_pdf(
+                SCENE_RADIUS
+            )  # emit()'s actual pdf (`BackgroundLight` Emit)
             w_camera = _mis(direct_pdf_a * light_pick) * state.d_vcm + _mis(
                 emission_pdf_w * light_pick
             ) * state.d_vc
@@ -427,7 +493,8 @@ def render_pass_vcm(
                     break
                 l = gather_light(scene.lights, jnp.full((n,), li, jnp.int32))
                 u1, u2, u3, stream = next_3d(stream)
-                ill = illuminate(l, frame.position, frame.normal, u1, u2, u3)
+                ill = illuminate(l, frame.position, frame.normal, u1, u2, u3,
+                                 env=scene.env_dist)
                 wi_local = world_to_local(
                     ill.dir_to_light, frame.tangent, frame.bitangent, frame.normal
                 )
@@ -540,23 +607,11 @@ def render_pass_vcm(
             K = cand_idx.shape[-1]
             ci = cand_idx.reshape(-1)
 
-            def g(x):
-                return x.reshape(-1)[...] if False else x
-
-            ph_pos = Vec3(
-                flat(vertices.position.x)[ci], flat(vertices.position.y)[ci],
-                flat(vertices.position.z)[ci],
-            )
-            ph_dir = Vec3(
-                flat(vertices.wo_world.x)[ci], flat(vertices.wo_world.y)[ci],
-                flat(vertices.wo_world.z)[ci],
-            )
-            ph_thr = Vec3(
-                flat(vertices.throughput.x)[ci], flat(vertices.throughput.y)[ci],
-                flat(vertices.throughput.z)[ci],
-            )
-            ph_dvm = flat(vertices.d_vm)[ci]
-            ph_dvcm = flat(vertices.d_vcm)[ci]
+            ph_pos = Vec3(photons.pos.x[ci], photons.pos.y[ci], photons.pos.z[ci])
+            ph_dir = Vec3(photons.wo.x[ci], photons.wo.y[ci], photons.wo.z[ci])
+            ph_thr = Vec3(photons.thr.x[ci], photons.thr.y[ci], photons.thr.z[ci])
+            ph_dvm = photons.d_vm[ci]
+            ph_dvcm = photons.d_vcm[ci]
 
             def rep(x):  # (N,) -> (N*K,) repeating each element K times
                 return jnp.repeat(x, K)

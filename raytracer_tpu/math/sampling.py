@@ -150,6 +150,86 @@ def local_to_world(v_local: Vec3, t: Vec3, b: Vec3, n: Vec3) -> Vec3:
     return t * v_local.x + b * v_local.y + n * v_local.z
 
 
+def spherical_quad_prepare(s: Vec3, ex: Vec3, ey: Vec3, ref: Vec3):
+    """Precompute the Urena spherical-rectangle frame for sampling a quad by
+    solid angle ("An Area-Preserving Parametrization for Spherical
+    Rectangles", Urena, Fajardo & King 2013 — the method behind the
+    reference's `Core/Math/SphericalQuad.h`).
+
+    ``s``: quad corner, ``ex``/``ey``: full edge vectors, ``ref``: shading
+    point.  Returns an opaque tuple for :func:`spherical_quad_sample` /
+    its ``S`` solid-angle entry (index -1) for the MIS pdf (pdf_w = 1/S).
+    All ops are AD- and masked-lane-safe (clamped acos/sqrt arguments).
+    """
+    exl = jnp.sqrt(jnp.maximum(dot(ex, ex), 1e-20))
+    eyl = jnp.sqrt(jnp.maximum(dot(ey, ey), 1e-20))
+    x = ex * (1.0 / exl)
+    y = ey * (1.0 / eyl)
+    z = cross(x, y)
+    d = s - ref
+    z0 = dot(d, z)
+    flip = z0 > 0.0
+    sign = jnp.where(flip, -1.0, 1.0)
+    z = z * sign
+    z0 = z0 * sign
+    x0 = dot(d, x)
+    y0 = dot(d, y)
+    x1 = x0 + exl
+    y1 = y0 + eyl
+
+    def edge_normal(ax, ay, bx, by):
+        # cross of (ax, ay, z0) x (bx, by, z0), normalized
+        nx = ay * z0 - z0 * by
+        ny = z0 * bx - ax * z0
+        nz = ax * by - ay * bx
+        inv = 1.0 / jnp.sqrt(jnp.maximum(nx * nx + ny * ny + nz * nz, 1e-20))
+        return nx * inv, ny * inv, nz * inv
+
+    n0 = edge_normal(x0, y0, x1, y0)
+    n1 = edge_normal(x1, y0, x1, y1)
+    n2 = edge_normal(x1, y1, x0, y1)
+    n3 = edge_normal(x0, y1, x0, y0)
+
+    def acos_c(v):
+        return jnp.arccos(jnp.clip(v, -1.0 + 1e-7, 1.0 - 1e-7))
+
+    g0 = acos_c(-(n0[0] * n1[0] + n0[1] * n1[1] + n0[2] * n1[2]))
+    g1 = acos_c(-(n1[0] * n2[0] + n1[1] * n2[1] + n1[2] * n2[2]))
+    g2 = acos_c(-(n2[0] * n3[0] + n2[1] * n3[1] + n2[2] * n3[2]))
+    g3 = acos_c(-(n3[0] * n0[0] + n3[1] * n0[1] + n3[2] * n0[2]))
+    b0 = n0[2]
+    b1 = n2[2]
+    k = 2.0 * jnp.pi - g2 - g3
+    big_s = jnp.maximum(g0 + g1 - k, 1e-7)
+    return (x, y, z, z0, x0, y0, x1, y1, b0, b1, k, big_s)
+
+
+def spherical_quad_sample(quad, ref: Vec3, u, v):
+    """Sample the quad uniformly by solid angle. Returns (world point,
+    pdf_w = 1/S)."""
+    x, y, z, z0, x0, y0, x1, y1, b0, b1, k, big_s = quad
+    au = u * big_s + k
+    sin_au = jnp.sin(au)
+    fu = (jnp.cos(au) * b0 - b1) / jnp.where(jnp.abs(sin_au) > 1e-7, sin_au, 1e-7)
+    cu = jnp.sign(fu) / jnp.sqrt(jnp.maximum(fu * fu + b0 * b0, 1e-20))
+    cu = jnp.clip(cu, -1.0 + 1e-7, 1.0 - 1e-7)
+    xu = -(cu * z0) / jnp.sqrt(1.0 - cu * cu)
+    xu = jnp.clip(xu, x0, x1)
+    d2 = xu * xu + z0 * z0
+    d = jnp.sqrt(jnp.maximum(d2, 1e-20))
+    h0 = y0 / jnp.sqrt(jnp.maximum(d2 + y0 * y0, 1e-20))
+    h1 = y1 / jnp.sqrt(jnp.maximum(d2 + y1 * y1, 1e-20))
+    hv = h0 + v * (h1 - h0)
+    hv2 = hv * hv
+    yv = jnp.where(
+        hv2 < 1.0 - 1e-6,
+        hv * d / jnp.sqrt(jnp.maximum(1.0 - hv2, 1e-12)),
+        y1,
+    )
+    p = ref + x * xu + y * yv + z * z0
+    return p, 1.0 / big_s
+
+
 def world_to_local(v_world: Vec3, t: Vec3, b: Vec3, n: Vec3) -> Vec3:
     return Vec3(dot(v_world, t), dot(v_world, b), dot(v_world, n))
 

@@ -85,19 +85,52 @@ class Illumination(NamedTuple):
 
 def _sample_shape_surface(l: LightSlice, u1, u2, u3):
     """Uniform point + normal on the light's shape, in light-local space
-    (`RectShape.cpp:50-63`, `SphereShape.cpp:47-62`)."""
+    (`RectShape.cpp:50-63`, `SphereShape.cpp:47-62`, `BoxShape.cpp:127-178`)."""
     # rect: z=0 plane, normal +Z
     rx = l.shape_param.x * (2.0 * u1 - 1.0)
     ry = l.shape_param.y * (2.0 * u2 - 1.0)
     zero = jnp.zeros_like(u1)
+    one = jnp.ones_like(u1)
     rect_p = Vec3(rx, ry, zero)
-    rect_n = Vec3(zero, zero, jnp.ones_like(u1))
+    rect_n = Vec3(zero, zero, one)
     # sphere: uniform point
     sph_n = sampling.sample_sphere(u1, u2)
     sph_p = sph_n * l.shape_param.x
+    # box: area-weighted face pick by u3 (`BoxShape::Sample` face CDF), then
+    # a uniform point on the picked face; v < 0.5 selects the -axis face
+    hx, hy, hz = l.shape_param.x, l.shape_param.y, l.shape_param.z
+    ax_w = hy * hz
+    ay_w = hz * hx
+    az_w = hx * hy
+    c1 = ax_w
+    c2 = ax_w + ay_w
+    c3 = jnp.maximum(ax_w + ay_w + az_w, 1e-20)
+    v = u3 * c3
+    pick_x = v < c1
+    pick_y = (~pick_x) & (v < c2)
+    # renormalize the picked segment to [0, 1) -> face sign
+    vr = jnp.where(
+        pick_x, v / jnp.maximum(c1, 1e-20),
+        jnp.where(pick_y, (v - c1) / jnp.maximum(ay_w, 1e-20),
+                  (v - c2) / jnp.maximum(az_w, 1e-20)),
+    )
+    sgn = jnp.where(vr < 0.5, -1.0, 1.0)
+    a1 = 2.0 * u1 - 1.0
+    a2 = 2.0 * u2 - 1.0
+    box_p = vwhere(
+        pick_x, Vec3(sgn * hx, a1 * hy, a2 * hz),
+        vwhere(pick_y, Vec3(a2 * hx, sgn * hy, a1 * hz),
+               Vec3(a1 * hx, a2 * hy, sgn * hz)),
+    )
+    box_n = vwhere(
+        pick_x, Vec3(sgn, zero, zero),
+        vwhere(pick_y, Vec3(zero, sgn, zero), Vec3(zero, zero, sgn)),
+    )
+
     is_sphere = l.shape_kind == SHAPE_SPHERE
-    p = vwhere(is_sphere, sph_p, rect_p)
-    n = vwhere(is_sphere, sph_n, rect_n)
+    is_box = l.shape_kind == SHAPE_BOX
+    p = vwhere(is_sphere, sph_p, vwhere(is_box, box_p, rect_p))
+    n = vwhere(is_sphere, sph_n, vwhere(is_box, box_n, rect_n))
     return p, n
 
 
@@ -224,6 +257,28 @@ def illuminate(l: LightSlice, shading_pos: Vec3, shading_frame_normal: Vec3, u1,
         pdf_area = jnp.where(is_sph, pdf_s, pdf_area)
         # ``under_pos``: the (eps-widened) cone sample actually hits the sphere
         area_ok = jnp.where(is_sph, outside & under_pos & (cos_at_s > 1e-7), area_ok)
+
+        # rect lights: Urena spherical-quad solid-angle sampling
+        # (`RectShape.cpp:66-94` via `SphericalQuad.h`) — uniform over the
+        # subtended solid angle; big variance win for close/large rects
+        hx_r, hy_r = l.shape_param.x, l.shape_param.y
+        corner = l.rot.to_world(Vec3(-hx_r, -hy_r, jnp.zeros_like(hx_r))) + l.trans
+        quad = sampling.spherical_quad_prepare(
+            corner, l.rot.r0 * (2.0 * hx_r), l.rot.r1 * (2.0 * hy_r), shading_pos
+        )
+        p_q, pdf_q = sampling.spherical_quad_sample(quad, shading_pos, u1, u2)
+        to_q = p_q - shading_pos
+        d2_q = dot(to_q, to_q)
+        dist_q = jnp.sqrt(jnp.maximum(d2_q, 1e-20))
+        dir_q = to_q * (1.0 / dist_q)
+        n_rect = l.rot.r2
+        cos_at_q = dot(n_rect, -dir_q)
+        is_rect = l.shape_kind == SHAPE_RECT
+        dir_a = vwhere(is_rect, dir_q, dir_a)
+        dist_a = jnp.where(is_rect, dist_q, dist_a)
+        cos_at = jnp.where(is_rect, cos_at_q, cos_at)
+        pdf_area = jnp.where(is_rect, pdf_q, pdf_area)
+        area_ok = jnp.where(is_rect, cos_at_q > 1e-7, area_ok)
 
     # --- background: env-map importance sampling when a distribution exists,
     #     else uniform hemisphere about the shading normal

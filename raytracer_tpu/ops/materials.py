@@ -70,6 +70,50 @@ def _to_local(rot, v: Vec3) -> Vec3:
     return Vec3(dot(v, rot.r0), dot(v, rot.r1), dot(v, rot.r2))
 
 
+def apply_normal_map(scene: SceneData, frame):
+    """Perturb the shading frame by the material's tangent-space normal map
+    — `Material::GetNormalVector` (`Core/Material/Material.cpp:120-138`)
+    applied exactly as `Scene::EvaluateIntersection` does
+    (`Core/Scene/Scene.cpp:328-344`): fetch, [0,1]->[-1,1], reconstruct z,
+    lerp toward +Z by ``normal_strength``, rotate into the frame, then
+    re-orthogonalize the tangent against the new normal.
+
+    (`mask_tex` note: the reference PARSES mask maps and defines
+    `Material::GetMaskValue` (`Material.cpp:140-149`) but no call site
+    exists anywhere in its Core/ — alpha masking is dead upstream; we store
+    the field for scene-schema compatibility and match that behavior.)
+    """
+    if scene.textures is None:
+        return frame
+    from ..math.vec import cross, dot, normalize
+    from .textures import sample_texture_many
+
+    mats = scene.materials
+    idx = jnp.maximum(frame.material_id, 0)
+    ntex = mats.normal_tex[idx]
+    has = ntex >= 0
+    t = sample_texture_many(scene.textures, ntex, frame.tex_u, frame.tex_v)
+    nx = 2.0 * t.x - 1.0
+    ny = 2.0 * t.y - 1.0
+    nz = jnp.sqrt(jnp.maximum(1.0 - nx * nx - ny * ny, 1e-12))
+    s = mats.normal_strength[idx]
+    # Lerp(VECTOR_Z, n, strength) (`Material.cpp:133`)
+    nx = nx * s
+    ny = ny * s
+    nz = nz * s + (1.0 - s)
+    world_n = normalize(
+        frame.tangent * nx + frame.bitangent * ny + frame.normal * nz, eps=1e-20
+    )
+    from ..math.vec import where as vwhere
+
+    new_n = vwhere(has, world_n, frame.normal)
+    # orthogonalize tangent (`Scene.cpp:340`), rebuild bitangent to keep the
+    # same handedness as build_onb/local_to_world
+    new_t = normalize(frame.tangent - new_n * dot(frame.tangent, new_n), eps=1e-20)
+    new_b = cross(new_n, new_t)
+    return frame._replace(normal=new_n, tangent=new_t, bitangent=new_b)
+
+
 def resolve_material(scene: SceneData, material_id, tex_u=None, tex_v=None,
                      wavelength=None, position=None) -> MatParams:
     """``wavelength`` (N,) nm: spectral mode — dispersive materials get a

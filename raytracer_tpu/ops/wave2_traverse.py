@@ -1,0 +1,556 @@
+"""Pallas sort-join mesh traversal — the production TPU path (exact + fast).
+
+Fourth-generation engine.  The pure-XLA binned engine (`wave_traverse.py`)
+is exact but pays TPU's weak spots — `top_k` (~0.2 us/row regardless of
+width), element gathers (~7 ns/element) and scatters — measured on v5e with
+a dependency-chained harness (the naive `block_until_ready` timing lies
+under the axon transport).  This engine keeps the same exact semantics but
+routes every data movement through the THREE primitives that are actually
+fast on this hardware:
+
+- **dense VPU compute** inside Pallas kernels (slab tests, Moller-Trumbore
+  with SMEM-broadcast geometry: ~40 Gtri-test/s vs ~5 for XLA-fused MT);
+- **`lax.sort`**, whose cost is flat in operand count (10 operands sort as
+  fast as 2: ~0.8 ns/elem) — so ray payloads RIDE the pair sort instead of
+  being gathered afterwards;
+- **sequential DMA** (BlockSpec pipelining + double-buffered manual copies).
+
+Pipeline per round:
+
+1. ``_p1_kernel`` (Pallas): every ray-block tests all super-cluster AABBs
+   (8 Morton-consecutive 64-tri clusters; SMEM-resident) and emits, per
+   ray, up to ``kc`` overlapped super ids in ascending id order plus the
+   count of ids it could not emit.  Ascending-id order makes the resume
+   cursor a single int per ray.
+2. Pair join (host XLA): one 9-operand `lax.sort` by super id moves each
+   pair's full ray payload next to its cluster's other pairs.
+3. Work items: each 1024-pair chunk overlaps at most a few id-runs; a tiny
+   run table (`searchsorted` over Cs+1 ids) expands into per-step item
+   lists (chunk, super, lane range).  Items a chunk cannot hold (> M runs)
+   are left unprocessed and flagged — never silently dropped.
+4. ``_mt_kernel`` (Pallas): streams items with double-buffered DMA of each
+   super's packed geometry (one (T,128) tile block per super), slab-tests
+   the 8 sub-cluster boxes to skip untouched 64-tri sub-blocks, and runs
+   Moller-Trumbore with scalar-broadcast geometry.  Emits per-pair
+   (t, tri, u, v, processed).
+5. Reduce: one more sort returns results to ray-major order; a dense
+   (N, kc) masked min picks each ray's best.  Unprocessed candidates move
+   the ray's resume cursor back so nothing is lost.
+6. Continuation: rays with remaining candidates (count > kc, dropped
+   items, or shrunken t bounds) are compacted (sort) into fixed-size
+   sub-wavefronts and re-traced in a `lax.while_loop` until none remain —
+   the exactness guarantee, typically 0-2 iterations for <=15% of rays.
+
+CPU runs the same code under `interpret=True` (tests); TPU compiles the
+kernels.  AD-detached like every traversal backend (SURVEY §7).
+
+Reference analogues: packet traversal with per-node active masks
+(`Core/Traversal/Traversal_Packet.cpp:111-162`), shadow-ray early-out
+(`Traversal_Single.h:99-179`), and the stubbed RayStream coherence sorter
+(`Core/Traversal/RayStream.cpp:26-48`) — here the sort IS the scheduler.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..math.vec import Vec3
+from ..scene.clusters import SUB_PER_SUPER, ClusterSet
+from .intersect import BIG
+
+TRI_EPS = 1e-7
+HIT_EPS = 1e-4
+
+CHUNK = 1024  # pairs per MT work chunk (one (8, 128) f32 tile)
+M_RUNS = 4  # max id-runs considered per chunk (excess -> continuation)
+NSUB = 16384  # continuation sub-wavefront size
+BIGF = 3.0e38
+
+
+def _interpret() -> bool:
+    return jax.default_backend() not in ("tpu", "axon")
+
+
+# --------------------------------------------------------------------------
+# Phase 1: per-ray candidate extraction over super-cluster boxes
+# --------------------------------------------------------------------------
+
+
+_WORD_BITS = 16  # bits per packed word (exact in f32 MXU accumulation)
+# chunk budget for the (rays x Cs) hit matrix: big enough that production
+# wavefronts run as ONE chunk (lax.scan overhead measured ~2.7x at 7 chunks)
+_P1_CHUNK_ELEMS = 256 * 1024 * 1024
+
+
+@functools.partial(jax.jit, static_argnames=("kc",))
+def _p1_extract(cs_set: ClusterSet, ox, oy, oz, dx, dy, dz, tl, cursor, kc: int):
+    """(Npad,) rays -> (cand (Npad, kc) ascending super ids (Cs = empty),
+    remaining (Npad,)).
+
+    Pure XLA: a dense (rays × Cs) slab test whose 0/1 hit matrix is packed
+    into 16-bit words by ONE bf16 matmul against a power-of-two weight
+    matrix (exact: products are 0 or 2^b, accumulated in f32 below 2^16) —
+    the MXU does the bit-pack for free — followed by a find-first-set loop
+    that peels ``kc`` ascending super ids per ray from the words.  This
+    avoids both `top_k` (~0.2 us/row on v5e regardless of width) and any
+    scalar-broadcast Pallas loop (128x lane waste).
+    """
+    n = ox.shape[0]
+    cs = cs_set.num_supers
+    nw = -(-cs // _WORD_BITS)
+    ch = max(CHUNK, min(n, (_P1_CHUNK_ELEMS // max(cs, 1)) // CHUNK * CHUNK))
+    pad = (-n) % ch
+    num_chunks = (n + pad) // ch
+
+    tiny = 1e-12
+    inv = lambda d: 1.0 / jnp.where(jnp.abs(d) > tiny, d, jnp.where(d >= 0, tiny, -tiny))
+
+    def shp(x, fill):
+        if pad:
+            x = jnp.concatenate([x, jnp.full((pad,), fill, x.dtype)])
+        return x.reshape(num_chunks, ch, 1)
+
+    chunks = (
+        shp(ox, 0.0), shp(oy, 0.0), shp(oz, 0.0),
+        shp(inv(dx), 1.0), shp(inv(dy), 1.0), shp(inv(dz), 1.0),
+        shp(tl, 0.0), shp(cursor, cs),
+    )
+
+    bx0 = cs_set.super_box[None, :, 0]
+    by0 = cs_set.super_box[None, :, 1]
+    bz0 = cs_set.super_box[None, :, 2]
+    bx1 = cs_set.super_box[None, :, 3]
+    by1 = cs_set.super_box[None, :, 4]
+    bz1 = cs_set.super_box[None, :, 5]
+    cid_row = jnp.arange(cs, dtype=jnp.int32)[None, :]
+    # (Cs, nw) pack weights: word c//16 gets 2^(c%16)
+    w_pack = (
+        (jnp.arange(cs)[:, None] // _WORD_BITS == jnp.arange(nw)[None, :])
+        * (2.0 ** (jnp.arange(cs)[:, None] % _WORD_BITS))
+    ).astype(jnp.bfloat16)
+
+    def body(_, chunk):
+        cox, coy, coz, cix, ciy, ciz, ctl, ccur = chunk
+        t1x = (bx0 - cox) * cix
+        t2x = (bx1 - cox) * cix
+        t1y = (by0 - coy) * ciy
+        t2y = (by1 - coy) * ciy
+        t1z = (bz0 - coz) * ciz
+        t2z = (bz1 - coz) * ciz
+        tmin = jnp.maximum(
+            jnp.maximum(jnp.minimum(t1x, t2x), jnp.minimum(t1y, t2y)),
+            jnp.minimum(t1z, t2z),
+        )
+        tmax = jnp.minimum(
+            jnp.minimum(jnp.maximum(t1x, t2x), jnp.maximum(t1y, t2y)),
+            jnp.maximum(t1z, t2z),
+        )
+        ent = jnp.maximum(tmin, 0.0)
+        hit = (tmax >= ent) & (ent < ctl) & (cid_row > ccur)
+        words = jax.lax.dot(
+            hit.astype(jnp.bfloat16), w_pack,
+            precision=jax.lax.Precision.DEFAULT,
+            preferred_element_type=jnp.float32,
+        ).astype(jnp.int32)  # (ch, nw) 16-bit masks
+
+        # peel kc lowest set bits (ascending super id) per ray
+        word_base = jnp.arange(nw, dtype=jnp.int32)[None, :] * _WORD_BITS
+        total = jnp.zeros(ch, jnp.int32)
+        for w in range(nw):
+            total = total + jax.lax.population_count(words[:, w])
+        slots = []
+        for _s in range(kc):
+            low = words & (-words)
+            # exact ffs via the f32 exponent (low is a power of two < 2^24)
+            bit = (
+                jax.lax.bitcast_convert_type(low.astype(jnp.float32), jnp.int32)
+                >> 23
+            ) - 127
+            idx = jnp.where(words != 0, word_base + bit, jnp.int32(2**30))
+            best = jnp.min(idx, axis=1)
+            slots.append(jnp.where(best < 2**30, best, cs))
+            clear = idx == best[:, None]
+            words = jnp.where(clear, words - low, words)
+        cand = jnp.stack(slots, axis=1)
+        return None, (cand, jnp.maximum(total - kc, 0))
+
+    _, (cand, remaining) = jax.lax.scan(body, None, chunks)
+    return cand.reshape(-1, kc)[:n], remaining.reshape(-1)[:n]
+
+
+# --------------------------------------------------------------------------
+# Phase 2: sort-join + streaming MT kernel
+# --------------------------------------------------------------------------
+
+
+def _mt_kernel(
+    # scalar prefetch
+    count_ref,  # (S,) int32 items per step
+    c_tab,  # (S, IT) int32 super id per item
+    i_tab,  # (S, IT) int32 local chunk index per item
+    lo_tab,  # (S, IT) int32 first lane of the item's run in the chunk
+    hi_tab,  # (S, IT) int32 one-past-last lane
+    # tensor operands
+    geom_hbm,  # (Cs, T, 128) packed super geometry (ANY -> manual DMA)
+    ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tl_ref,  # (1, bps*8, 128)
+    # outputs (1, bps*8, 128)
+    t_out, tri_out, u_out, v_out, done_out,
+    # scratch
+    geom_buf,  # SMEM (2, T, 128)
+    sem,
+    *,
+    k: int,
+    any_hit: bool,
+):
+    step = pl.program_id(0)
+    count = count_ref[step]
+
+    t_out[0] = tl_ref[0]
+    tri_out[0] = jnp.full(t_out.shape[1:], -1, jnp.int32)
+    u_out[0] = jnp.zeros(t_out.shape[1:], jnp.float32)
+    v_out[0] = jnp.zeros(t_out.shape[1:], jnp.float32)
+    done_out[0] = jnp.zeros(t_out.shape[1:], jnp.int32)
+
+    def dma(it, slot):
+        return pltpu.make_async_copy(
+            geom_hbm.at[c_tab[step, it]], geom_buf.at[slot], sem.at[slot]
+        )
+
+    @pl.when(count > 0)
+    def _():
+        dma(0, 0).start()
+
+    lane_id = (
+        jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0) * 128
+        + jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
+    )
+    g_base = SUB_PER_SUPER * k * 9
+    b_base = SUB_PER_SUPER * k * 10
+
+    def body(it, _):
+        slot = jax.lax.rem(it, 2)
+
+        @pl.when(it + 1 < count)
+        def _():
+            dma(it + 1, 1 - slot).start()
+
+        dma(it, slot).wait()
+        i = i_tab[step, it]
+        lo = lo_tab[step, it]
+        hi = hi_tab[step, it]
+        rows = pl.ds(i * 8, 8)
+        ox = ox_ref[0, rows, :]
+        oy = oy_ref[0, rows, :]
+        oz = oz_ref[0, rows, :]
+        dx = dx_ref[0, rows, :]
+        dy = dy_ref[0, rows, :]
+        dz = dz_ref[0, rows, :]
+        mask = (lane_id >= lo) & (lane_id < hi)
+        tiny = 1e-12
+        inv = lambda d: 1.0 / jnp.where(jnp.abs(d) > tiny, d, jnp.where(d >= 0, tiny, -tiny))
+        ix, iy, iz = inv(dx), inv(dy), inv(dz)
+
+        best_t = t_out[0, rows, :]
+
+        flat = lambda e: geom_buf[slot, e // 128, e % 128]
+        for s in range(SUB_PER_SUPER):
+            bb = b_base + s * 6
+            b0, b1, b2 = flat(bb), flat(bb + 1), flat(bb + 2)
+            b3, b4, b5 = flat(bb + 3), flat(bb + 4), flat(bb + 5)
+            t1x = (b0 - ox) * ix
+            t2x = (b3 - ox) * ix
+            t1y = (b1 - oy) * iy
+            t2y = (b4 - oy) * iy
+            t1z = (b2 - oz) * iz
+            t2z = (b5 - oz) * iz
+            bmin = jnp.maximum(
+                jnp.maximum(jnp.minimum(t1x, t2x), jnp.minimum(t1y, t2y)),
+                jnp.minimum(t1z, t2z),
+            )
+            bmax = jnp.minimum(
+                jnp.minimum(jnp.maximum(t1x, t2x), jnp.maximum(t1y, t2y)),
+                jnp.maximum(t1z, t2z),
+            )
+            sub_hit = mask & (bmax >= jnp.maximum(bmin, 0.0)) & (bmin < best_t)
+
+            @pl.when(jnp.any(sub_hit))
+            def _(s=s, sub_hit=sub_hit):
+                # re-read the freshest best from the refs: an earlier sub of
+                # THIS item may have already written a closer hit, and a
+                # stale carried best would let a farther hit overwrite it
+                bt = t_out[0, rows, :]
+                btri = tri_out[0, rows, :]
+                bu = u_out[0, rows, :]
+                bv = v_out[0, rows, :]
+                for q in range(k):
+                    e = s * k * 9 + q * 9
+                    tid = flat(g_base + s * k + q).astype(jnp.int32)
+                    v0x, v0y, v0z = flat(e), flat(e + 1), flat(e + 2)
+                    e1x, e1y, e1z = flat(e + 3), flat(e + 4), flat(e + 5)
+                    e2x, e2y, e2z = flat(e + 6), flat(e + 7), flat(e + 8)
+                    px = dy * e2z - dz * e2y
+                    py = dz * e2x - dx * e2z
+                    pz = dx * e2y - dy * e2x
+                    det = e1x * px + e1y * py + e1z * pz
+                    okd = jnp.abs(det) > TRI_EPS
+                    inv_det = 1.0 / jnp.where(okd, det, 1.0)
+                    tx, ty, tz = ox - v0x, oy - v0y, oz - v0z
+                    uu = (tx * px + ty * py + tz * pz) * inv_det
+                    qx = ty * e1z - tz * e1y
+                    qy = tz * e1x - tx * e1z
+                    qz = tx * e1y - ty * e1x
+                    vv = (dx * qx + dy * qy + dz * qz) * inv_det
+                    tt = (e2x * qx + e2y * qy + e2z * qz) * inv_det
+                    hit = (
+                        sub_hit
+                        & okd
+                        & (uu >= 0.0)
+                        & (vv >= 0.0)
+                        & (uu + vv <= 1.0)
+                        & (tt > HIT_EPS)
+                        & (tid >= 0)
+                        & (tt < bt)
+                    )
+                    if any_hit:
+                        bt = jnp.where(hit, 0.0, bt)
+                        btri = jnp.where(hit, tid, btri)
+                    else:
+                        bt = jnp.where(hit, tt, bt)
+                        btri = jnp.where(hit, tid, btri)
+                        bu = jnp.where(hit, uu, bu)
+                        bv = jnp.where(hit, vv, bv)
+                t_out[0, rows, :] = bt
+                tri_out[0, rows, :] = btri
+                u_out[0, rows, :] = bu
+                v_out[0, rows, :] = bv
+
+        done_out[0, rows, :] = jnp.maximum(done_out[0, rows, :], mask.astype(jnp.int32))
+        return 0
+
+    jax.lax.fori_loop(0, count, body, 0)
+
+
+def _searchsorted(sorted_arr, queries):
+    return jnp.searchsorted(sorted_arr, queries, side="right")
+
+
+@functools.partial(jax.jit, static_argnames=("kc", "bps", "any_hit"))
+def _round(cs_set: ClusterSet, ox, oy, oz, dx, dy, dz, tl, cursor, kc: int, bps: int, any_hit: bool):
+    """One full extraction + join + MT round on a padded (Npad,) wavefront.
+
+    Returns (t, tri, u, v, new_cursor, unresolved) — t == tl where no hit.
+    """
+    n = ox.shape[0]
+    cs = cs_set.num_supers
+    cand, remaining = _p1_extract(cs_set, ox, oy, oz, dx, dy, dz, tl, cursor, kc)
+
+    p = n * kc
+    b = -(-p // CHUNK)
+    steps = -(-b // bps)
+    b_pad = steps * bps
+    p_pad = b_pad * CHUNK
+    it_cap = bps * M_RUNS  # exact upper bound: a chunk emits at most M items
+
+    def pad_to(x, length, fill):
+        extra = length - x.shape[0]
+        return jnp.concatenate([x, jnp.full((extra,), fill, x.dtype)]) if extra else x
+
+    rep = lambda x: jnp.broadcast_to(x[:, None], (n, kc)).reshape(p)
+    key = pad_to(cand.reshape(p), p_pad, cs)
+    pidx = pad_to(jnp.arange(p, dtype=jnp.int32), p_pad, p)
+    # barrier: lax.sort is multi-pass — letting XLA fuse the broadcasts/pads
+    # into it re-evaluates them per pass (measured 50x slowdown on v5e)
+    sort_in = jax.lax.optimization_barrier(
+        [key, pidx, pad_to(rep(ox), p_pad, 0.0), pad_to(rep(oy), p_pad, 0.0),
+         pad_to(rep(oz), p_pad, 0.0), pad_to(rep(dx), p_pad, 1.0),
+         pad_to(rep(dy), p_pad, 0.0), pad_to(rep(dz), p_pad, 0.0),
+         pad_to(rep(tl), p_pad, 0.0)]
+    )
+    sk, sidx, sox, soy, soz, sdx, sdy, sdz, stl = jax.lax.optimization_barrier(
+        jax.lax.sort(sort_in, num_keys=1)
+    )
+
+    # run table + per-chunk item lists
+    start = _searchsorted(sk, jnp.arange(cs + 1, dtype=jnp.int32) - 1)  # first pair with id >= c
+    q0 = jnp.arange(b_pad, dtype=jnp.int32) * CHUNK
+    f_q = _searchsorted(start, q0) - 1  # run containing the chunk's first pair
+    c_qm = f_q[:, None] + jnp.arange(M_RUNS, dtype=jnp.int32)[None, :]  # (B, M)
+    c_ok = (c_qm >= 0) & (c_qm < cs)
+    cq = jnp.clip(c_qm, 0, cs)
+    lo = jnp.clip(start[cq] - q0[:, None], 0, CHUNK)
+    hi = jnp.clip(start[jnp.minimum(cq + 1, cs)] - q0[:, None], 0, CHUNK)
+    valid = c_ok & (lo < hi)
+
+    # compact items per step
+    vflat = valid.reshape(steps, bps * M_RUNS)
+    cflat = jnp.where(valid, cq, 0).reshape(steps, bps * M_RUNS)
+    iflat = jnp.broadcast_to(
+        (jnp.arange(b_pad, dtype=jnp.int32) % bps)[:, None], (b_pad, M_RUNS)
+    ).reshape(steps, bps * M_RUNS)
+    loflat = lo.reshape(steps, bps * M_RUNS)
+    hiflat = hi.reshape(steps, bps * M_RUNS)
+    order = jnp.argsort(~vflat, axis=1, stable=True)[:, :it_cap]
+    take = lambda a: jnp.take_along_axis(a, order, axis=1)
+    item_c = take(cflat)
+    item_i = take(iflat)
+    item_lo = take(loflat)
+    item_hi = take(hiflat)
+    item_valid = take(vflat)
+    # items beyond the table capacity are dropped, not processed — their
+    # pairs keep done == 0 and flow into the continuation loop
+    item_count = jnp.minimum(jnp.sum(vflat.astype(jnp.int32), axis=1), it_cap)
+    item_c = jnp.where(item_valid, item_c, 0)
+
+    tile = lambda x: x.reshape(steps, bps * 8, 128)
+    pair_spec = pl.BlockSpec((1, bps * 8, 128), lambda s, *_: (s, 0, 0), memory_space=pltpu.VMEM)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=5,
+        grid=(steps,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] + [pair_spec] * 7,
+        out_specs=[pair_spec] * 5,
+        scratch_shapes=[
+            pltpu.SMEM((2,) + tuple(cs_set.super_stream.shape[1:]), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    out_shape = [
+        jax.ShapeDtypeStruct((steps, bps * 8, 128), jnp.float32),
+        jax.ShapeDtypeStruct((steps, bps * 8, 128), jnp.int32),
+        jax.ShapeDtypeStruct((steps, bps * 8, 128), jnp.float32),
+        jax.ShapeDtypeStruct((steps, bps * 8, 128), jnp.float32),
+        jax.ShapeDtypeStruct((steps, bps * 8, 128), jnp.int32),
+    ]
+    t_s, tri_s, u_s, v_s, done_s = pl.pallas_call(
+        functools.partial(_mt_kernel, k=cs_set.tris_per_cluster, any_hit=any_hit),
+        grid_spec=grid_spec,
+        out_shape=out_shape,
+        interpret=_interpret(),
+    )(
+        item_count, item_c, item_i, item_lo, item_hi,
+        cs_set.super_stream,
+        tile(sox), tile(soy), tile(soz), tile(sdx), tile(sdy), tile(sdz), tile(stl),
+    )
+
+    # back to ray-major pair order (barriers: see sort#1 note)
+    sort3_in = jax.lax.optimization_barrier(
+        [sidx, t_s.reshape(p_pad), tri_s.reshape(p_pad), u_s.reshape(p_pad),
+         v_s.reshape(p_pad), done_s.reshape(p_pad)]
+    )
+    _, t_p, tri_p, u_p, v_p, done_p = jax.lax.optimization_barrier(
+        jax.lax.sort(sort3_in, num_keys=1)
+    )
+    shp = lambda x: x[:p].reshape(n, kc)
+    t_p, tri_p, u_p, v_p, done_p = shp(t_p), shp(tri_p), shp(u_p), shp(v_p), shp(done_p)
+
+    slot_valid = cand < cs
+    hit = slot_valid & (done_p > 0) & (tri_p >= 0)
+    tkey = jnp.where(hit, t_p, jnp.float32(jnp.inf))
+    j_best = jnp.argmin(tkey, axis=1)
+    rows = jnp.arange(n)
+    best_t = tkey[rows, j_best]
+    best_tri = jnp.where(jnp.isfinite(best_t), tri_p[rows, j_best], -1)
+    best_u = jnp.where(jnp.isfinite(best_t), u_p[rows, j_best], 0.0)
+    best_v = jnp.where(jnp.isfinite(best_t), v_p[rows, j_best], 0.0)
+    t_round = jnp.where(jnp.isfinite(best_t), best_t, tl)
+
+    unproc = slot_valid & (done_p == 0)
+    any_unproc = jnp.any(unproc, axis=1)
+    min_unproc = jnp.min(jnp.where(unproc, cand, cs + 1), axis=1)
+    max_extracted = jnp.max(jnp.where(slot_valid, cand, -1), axis=1)
+    new_cursor = jnp.where(
+        any_unproc, min_unproc - 1, jnp.maximum(max_extracted, cursor)
+    )
+    unresolved = any_unproc | (remaining > 0)
+    if any_hit:
+        unresolved = unresolved & (best_tri < 0)
+    return t_round, best_tri, best_u, best_v, new_cursor, unresolved
+
+
+# --------------------------------------------------------------------------
+# Driver: round 1 on the full wavefront + compacted continuation loop
+# --------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("kc", "any_hit", "max_iters"))
+def _wave2_trace(cs_set: ClusterSet, ox, oy, oz, dx, dy, dz, tm, kc: int, any_hit: bool, max_iters: int):
+    n0 = ox.shape[0]
+    n = -(-n0 // CHUNK) * CHUNK
+
+    def padded(x, fill):
+        return jnp.concatenate([x, jnp.full((n - n0,), fill, x.dtype)]) if n != n0 else x
+
+    ox, oy, oz = padded(ox, 0.0), padded(oy, 0.0), padded(oz, 0.0)
+    dx, dy, dz = padded(dx, 1.0), padded(dy, 0.0), padded(dz, 0.0)
+    tm = padded(tm, 0.0)
+
+    cursor0 = jnp.full(n, -1, jnp.int32)
+    bps = max(1, min(32, (n * kc) // CHUNK))
+    t1, tri1, u1, v1, cur1, unres1 = _round(
+        cs_set, ox, oy, oz, dx, dy, dz, tm, cursor0, kc, bps, any_hit
+    )
+
+    nsub = min(NSUB, n)
+    bps_sub = max(1, min(32, (nsub * kc) // CHUNK))
+
+    def cond(st):
+        i, _t, _tri, _u, _v, _cur, unres = st
+        return (i < max_iters) & jnp.any(unres)
+
+    def body(st):
+        i, t, tri, u, v, cur, unres = st
+        # compact up to nsub unresolved rays (ascending index, stable)
+        sel = jax.lax.sort(
+            [(~unres).astype(jnp.int32), jnp.arange(n, dtype=jnp.int32)], num_keys=1
+        )[1][:nsub]
+        live = unres[sel]
+        g = lambda a: a[sel]
+        t_r, tri_r, u_r, v_r, cur_r, unres_r = _round(
+            cs_set, g(ox), g(oy), g(oz), g(dx), g(dy), g(dz),
+            jnp.where(live, g(t), 0.0), g(cur), kc, bps_sub, any_hit,
+        )
+        improved = live & (t_r < t[sel])
+        wi = jnp.where(live, sel, n)  # drop writes for dead lanes
+        t = t.at[wi].set(jnp.where(improved, t_r, t[sel]), mode="drop")
+        tri = tri.at[wi].set(jnp.where(improved, tri_r, tri[sel]), mode="drop")
+        u = u.at[wi].set(jnp.where(improved, u_r, u[sel]), mode="drop")
+        v = v.at[wi].set(jnp.where(improved, v_r, v[sel]), mode="drop")
+        cur = cur.at[wi].set(cur_r, mode="drop")
+        unres = unres.at[wi].set(live & unres_r, mode="drop")
+        return (i + 1, t, tri, u, v, cur, unres)
+
+    _, t, tri, u, v, _, unres = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), t1, tri1, u1, v1, cur1, unres1)
+    )
+    return t[:n0], tri[:n0], u[:n0], v[:n0], unres[:n0]
+
+
+def wave2_closest_hit(cs: ClusterSet, origin: Vec3, direction: Vec3, t_max, kc: int = 16, max_iters: int = 64):
+    """Closest hit. Returns (t, tri_id, u, v, overflow) — exact; overflow
+    only marks rays still unresolved after ``max_iters`` continuation
+    sub-rounds (practically unreachable)."""
+    cs, origin, direction, t_max = jax.lax.stop_gradient((cs, origin, direction, t_max))
+    tm = jnp.asarray(t_max) * jnp.ones(origin.x.shape, jnp.float32)
+    kc = min(kc, cs.num_supers)
+    t, tri, u, v, overflow = _wave2_trace(
+        cs, origin.x, origin.y, origin.z, direction.x, direction.y, direction.z,
+        tm, kc, False, max_iters,
+    )
+    missed = tri < 0
+    return jnp.where(missed, BIG, t), tri, u, v, overflow
+
+
+def wave2_any_hit(cs: ClusterSet, origin: Vec3, direction: Vec3, t_max, kc: int = 16, max_iters: int = 64):
+    """Any-hit occlusion query. Returns (occluded, overflow)."""
+    cs, origin, direction, t_max = jax.lax.stop_gradient((cs, origin, direction, t_max))
+    tm = jnp.asarray(t_max) * jnp.ones(origin.x.shape, jnp.float32)
+    kc = min(kc, cs.num_supers)
+    t, tri, _, _, overflow = _wave2_trace(
+        cs, origin.x, origin.y, origin.z, direction.x, direction.y, direction.z,
+        tm, kc, True, max_iters,
+    )
+    return tri >= 0, overflow

@@ -112,6 +112,49 @@ def render_pass_sharded(
     return shard_fn(scene, cam, film, pass_idx, *halton_operands)
 
 
+def render_pass_vcm_sharded(
+    scene: SceneData,
+    meta: SceneMeta,
+    cam: Camera,
+    film: Film,
+    pass_idx: jnp.ndarray,
+    vp: ViewportParams,
+    params: RenderParams,
+    mesh: Mesh,
+    vcm=None,
+):
+    """One VCM pass with light+camera paths sharded over the pixel-band axis
+    (SURVEY §2.9 P4): each device traces its band's sub-paths, photons are
+    `all_gather`ed over ICI before the (per-device) grid build, and the
+    light-tracing splat frame is `psum`med — the hardware analogue of the
+    reference's per-thread photon-list concat + single-threaded grid build
+    (`VertexConnectionAndMerging.cpp:140-170`)."""
+    from ..integrators.vcm import VcmParams, render_pass_vcm
+
+    vcm = vcm if vcm is not None else VcmParams()
+    n_dev = mesh.shape[AXIS]
+    assert vp.height % n_dev == 0, f"height {vp.height} % devices {n_dev} != 0"
+    rows_per = vp.height // n_dev
+    film_spec = Film(P(AXIS, None, None), P(AXIS, None, None), P(), P())
+
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(), P(), film_spec, P()),
+        out_specs=film_spec,
+        check_vma=False,
+    )
+    def shard_fn(scene, cam, film_shard, pass_idx):
+        band = jax.lax.axis_index(AXIS)
+        row0 = band * rows_per
+        return render_pass_vcm(
+            scene, meta, cam, film_shard, pass_idx, None, vp, params, vcm,
+            rows=rows_per, row0=row0, axis_name=AXIS,
+        )
+
+    return shard_fn(scene, cam, film, pass_idx)
+
+
 def train_step_sharded(
     scene: SceneData,
     meta: SceneMeta,

@@ -51,6 +51,19 @@ class ClusterSet(NamedTuple):
     # tile-aligned copy (Mosaic rejects sub-tile DMA slices).  Flat layout:
     # [0:K*9) = geometry, [K*9:K*10) = ids as f32 values, rest zero.
     stream_block: jnp.ndarray = None
+    # --- super-clusters (8 Morton-consecutive clusters; wave2 engine) -------
+    # (Cs, 6) world AABB of each super-cluster [min.xyz, max.xyz]; empty
+    # (padding) supers have min > max
+    super_box: jnp.ndarray = None
+    # (Cs, SUPER_TILES, 128) f32 packed geometry per super, flat layout:
+    # [0 : 8*K*9)          sub-cluster triangle geometry (v0,e1,e2 rows)
+    # [8*K*9 : 8*K*10)     triangle ids as f32 values (-1 = pad)
+    # [8*K*10 : +48)       8 sub-cluster AABBs [min.xyz, max.xyz]
+    super_stream: jnp.ndarray = None
+
+    @property
+    def num_supers(self) -> int:
+        return self.super_box.shape[0]
 
     @property
     def num_clusters(self) -> int:
@@ -109,6 +122,9 @@ def build_clusters(
     vmin = np.where(valid, verts, np.inf).min(axis=(1, 2))
     vmax = np.where(valid, verts, -np.inf).max(axis=(1, 2))
 
+    super_box, super_stream = _pack_super_clusters(
+        blocks.reshape(c, k * 9), ids.reshape(c, k), vmin, vmax
+    )
     return ClusterSet(
         box_min_x=jnp.asarray(vmin[:, 0]), box_min_y=jnp.asarray(vmin[:, 1]),
         box_min_z=jnp.asarray(vmin[:, 2]),
@@ -120,7 +136,48 @@ def build_clusters(
         stream_block=_pack_stream_blocks(
             blocks.reshape(c, k * 9), ids.reshape(c, k), vmin, vmax
         ),
+        super_box=super_box,
+        super_stream=super_stream,
     )
+
+
+SUB_PER_SUPER = 8
+
+
+def _pack_super_clusters(
+    tri_block: np.ndarray, tri_id: np.ndarray, vmin: np.ndarray, vmax: np.ndarray
+):
+    """Group 8 Morton-consecutive clusters into one super-cluster and pack
+    each super's geometry (8 sub geoms + ids + sub boxes) into whole
+    (8, 128) tiles for single-DMA streaming (wave2 engine).
+
+    Big supers keep the phase-1 candidate matrix small (a ray overlaps few
+    of them); the 8 sub-boxes let the MT kernel skip sub-clusters no ray in
+    the block touches, recovering most of the fine-grained culling."""
+    c, k9 = tri_block.shape
+    k = tri_id.shape[1]
+    cs = (c + SUB_PER_SUPER - 1) // SUB_PER_SUPER
+    cpad = cs * SUB_PER_SUPER - c
+    if cpad:
+        tri_block = np.concatenate([tri_block, np.zeros((cpad, k9), np.float32)])
+        tri_id = np.concatenate([tri_id, np.full((cpad, k), -1, np.int32)])
+        vmin = np.concatenate([vmin, np.full((cpad, 3), np.float32(3e38))])
+        vmax = np.concatenate([vmax, np.full((cpad, 3), np.float32(-3e38))])
+    smin = vmin.reshape(cs, SUB_PER_SUPER, 3).min(1)
+    smax = vmax.reshape(cs, SUB_PER_SUPER, 3).max(1)
+    super_box = np.concatenate([smin, smax], axis=1).astype(np.float32)
+
+    flat_len = SUB_PER_SUPER * (k9 + k + 6)
+    tiles = (flat_len + 1023) // 1024
+    out = np.zeros((cs, tiles * 1024), np.float32)
+    g = SUB_PER_SUPER * k9
+    out[:, :g] = tri_block.reshape(cs, g)
+    out[:, g : g + SUB_PER_SUPER * k] = tri_id.reshape(cs, -1).astype(np.float32)
+    sb = np.concatenate(
+        [vmin.reshape(cs, SUB_PER_SUPER, 3), vmax.reshape(cs, SUB_PER_SUPER, 3)], axis=2
+    )  # (cs, 8, 6)
+    out[:, g + SUB_PER_SUPER * k : flat_len] = sb.reshape(cs, -1)
+    return jnp.asarray(super_box), jnp.asarray(out.reshape(cs, tiles * 8, 128))
 
 
 def _pack_stream_blocks(

@@ -128,3 +128,35 @@ class TestShardedTrain:
                 np.asarray(a), np.asarray(b), rtol=2e-4, atol=1e-6
             )
         assert all(np.isfinite(np.asarray(g)).all() for g in flat_sh)
+
+
+class TestShardedVcm:
+    def test_vcm_sharded_matches_single_device(self, setup):
+        """Sharded VCM (banded light+camera paths, photon all_gather, splat
+        psum) must match the single-device pass: same global path ids =>
+        same sub-paths; the gathered photon set is the same set.
+
+        Photon ORDER differs across shardings (gather concatenates bands), so
+        grid cell candidate selection can differ when a cell overflows — with
+        few photons per cell the result is identical; tolerance covers f32
+        reduction-order drift only."""
+        from raytracer_tpu.integrators.vcm import VcmParams, render_pass_vcm
+        from raytracer_tpu.parallel.mesh import render_pass_vcm_sharded
+
+        scene, meta, cam = setup
+        vcm = VcmParams(max_path_length=3)
+
+        film1 = make_film(W, H)
+        film1 = render_pass_vcm(
+            scene, meta, cam, film1, jnp.int32(0), None, VP, PARAMS, vcm
+        )
+        ref = np.asarray(film1.sum)
+
+        mesh = make_mesh(jax.devices()[:8])
+        film8 = jax.device_put(make_film(W, H), film_sharding(mesh))
+        film8 = render_pass_vcm_sharded(
+            scene=scene, meta=meta, cam=cam, film=film8, pass_idx=jnp.int32(0),
+            vp=VP, params=PARAMS, mesh=mesh, vcm=vcm,
+        )
+        got = np.asarray(film8.sum)
+        np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-5)

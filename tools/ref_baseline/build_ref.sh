@@ -181,4 +181,11 @@ if [ -f "$HARNESS_DIR/dump_goldens.cpp" ]; then
       -I"$DST/Demo" -o "$DST/harness/dump_goldens" $FLAGS
 fi
 
+if [ -f "$HARNESS_DIR/bench_scene.cpp" ]; then
+  g++ "$HARNESS_DIR/bench_scene.cpp" \
+      "$DST/Demo/SceneLoader.cpp" "$DST/Demo/MeshLoader.cpp" \
+      "$DST/External/tiny_obj_loader.cpp" \
+      -I"$DST/Demo" -o "$DST/harness/bench_scene" $FLAGS
+fi
+
 echo "OK: $DST/build/libCore.so + harness binaries"

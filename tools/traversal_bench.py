@@ -72,11 +72,19 @@ def _vec(a):
     return Vec3(jnp.asarray(a[:, 0]), jnp.asarray(a[:, 1]), jnp.asarray(a[:, 2]))
 
 
+def _force(out):
+    """Force completion with host transfers: under the axon transport,
+    block_until_ready returns before the device work finishes."""
+    for leaf in jax.tree_util.tree_leaves(out):
+        np.asarray(leaf[:1])
+    return out
+
+
 def timeit(fn, *args, reps=5):
-    out = jax.block_until_ready(fn(*args))  # compile
+    out = _force(fn(*args))  # compile
     t0 = time.perf_counter()
     for _ in range(reps):
-        out = jax.block_until_ready(fn(*args))
+        out = _force(fn(*args))
     dt = (time.perf_counter() - t0) / reps
     return out, dt
 
@@ -179,6 +187,29 @@ def main():
                 )
             except Exception as e:
                 print(f"[{label}] wave FAILED: {type(e).__name__}: {str(e)[:160]}")
+
+        if want("wave2"):
+            from raytracer_tpu.ops.wave2_traverse import wave2_any_hit, wave2_closest_hit
+
+            try:
+                w2c = jax.jit(lambda o, d, t: wave2_closest_hit(cs, o, d, t))
+                (w2t, w2tri, w2u, w2v, w2ovf), dt_w2 = timeit(w2c, origin, direction, t_max)
+                agree_w2 = float(jnp.mean(w2tri == ctri)) if ctri is not None else -1
+                print(
+                    f"[{label}] wave2 closest: {dt_w2 * 1e3:13.2f} ms  "
+                    f"{n_rays / dt_w2 / 1e6:7.1f} Mray/s  agree-vs-cluster={agree_w2:.4f} "
+                    f"ovf={float(jnp.mean(w2ovf)):.4f}"
+                )
+                w2a = jax.jit(lambda o, d, t: wave2_any_hit(cs, o, d, t))
+                (w2occ, w2sho), dt_w2a = timeit(w2a, origin, direction, jnp.full(n_rays, 4.0))
+                print(
+                    f"[{label}] wave2 any-hit: {dt_w2a * 1e3:13.2f} ms  "
+                    f"{n_rays / dt_w2a / 1e6:7.1f} Mray/s  occl={float(jnp.mean(w2occ)):.3f} "
+                    f"ovf={float(jnp.mean(w2sho)):.4f}"
+                )
+            except Exception as e:
+                import traceback; traceback.print_exc()
+                print(f"[{label}] wave2 FAILED: {type(e).__name__}: {str(e)[:160]}")
 
         if want("sorted") and pallas_available():
             from raytracer_tpu.ops.pallas_traverse import pallas_sorted_closest_hit
