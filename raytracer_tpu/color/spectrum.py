@@ -98,6 +98,25 @@ def sample_wavelength(u):
     return WAVELENGTH_LO + u * (WAVELENGTH_HI - WAVELENGTH_LO)
 
 
+# strata of the hero rotation — the reference carries this many rotated
+# wavelengths per RayColor (`Wavelength.h:15-23` NumComponents = 8)
+NUM_STRATA = 8
+
+
+def sample_wavelength_stratified(u, pass_idx):
+    """Hero wavelength stratified over ``NUM_STRATA`` bins by pass index.
+
+    The reference evaluates 8 wavelengths rotated from one sample per path
+    (`Wavelength.cpp:10-21`); our paths carry exact RGB until the first
+    dispersive event, which already equals the 8-rotation estimator there.
+    What remains is the post-collapse chroma noise: cycling the hero's
+    stratum with the pass index makes any 8 consecutive passes cover the
+    spectrum exactly once per pixel — same equal-pass variance reduction,
+    wavefront-friendly."""
+    j = (pass_idx % NUM_STRATA).astype(jnp.float32)
+    return WAVELENGTH_LO + ((j + u) / NUM_STRATA) * (WAVELENGTH_HI - WAVELENGTH_LO)
+
+
 def cauchy_ior(n_d, abbe, lam):
     """Wavelength-dependent index of refraction via Cauchy's equation,
     parameterized by d-line IoR and Abbe number (the practical form of the

@@ -232,20 +232,27 @@ def trace_radiance(
     stream: SampleStream,
     params: RenderParams,
     time=None,
+    pass_idx=None,
 ) -> tuple[Vec3, Counters]:
     """Trace a wavefront to completion. Returns (radiance per ray, counters).
 
     ``time`` (N,): per-ray shutter time, constant along the path (the
-    reference samples ``ctx.time`` once per pixel, `Viewport.cpp:309`)."""
+    reference samples ``ctx.time`` once per pixel, `Viewport.cpp:309`).
+    ``pass_idx``: stratifies the hero wavelength across passes in spectral
+    mode (the pass-level analogue of the reference's 8 rotated wavelengths,
+    `Wavelength.cpp:10-21`)."""
     n = rays.origin.x.shape
     pick_prob = _light_pick_probability(meta, params)
 
     wavelength = None
     if params.spectral:
-        from ..color.spectrum import sample_wavelength
+        from ..color.spectrum import sample_wavelength, sample_wavelength_stratified
 
         u_l, stream = next_1d(stream)
-        wavelength = sample_wavelength(u_l)
+        if pass_idx is not None:
+            wavelength = sample_wavelength_stratified(u_l, pass_idx)
+        else:
+            wavelength = sample_wavelength(u_l)
 
     init = _PathState(
         origin=rays.origin,

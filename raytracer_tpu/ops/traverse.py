@@ -42,7 +42,7 @@ from ..scene.types import SceneData
 from .intersect import BIG, Hits, intersect_prims
 
 _MODE = "auto"
-_VALID_MODES = ("auto", "wave", "sorted-pallas", "cluster", "bvh")
+_VALID_MODES = ("auto", "wave2", "wave", "sorted-pallas", "cluster", "bvh")
 
 
 def set_traversal_mode(mode: str) -> None:
@@ -66,7 +66,10 @@ def _resolved_mode(scene: SceneData) -> str:
         )
     if _MODE != "auto":
         return _MODE
-    return "wave"
+    import jax
+
+    # wave2 (Pallas sort-join) on TPU; the pure-XLA engine elsewhere
+    return "wave2" if jax.default_backend() in ("tpu", "axon") else "wave"
 
 
 def _mesh_closest(scene: SceneData, origin: Vec3, direction: Vec3, t_cap):
@@ -75,6 +78,10 @@ def _mesh_closest(scene: SceneData, origin: Vec3, direction: Vec3, t_cap):
     Returns (t, tri_id, u, v, overflow)."""
     mode = _resolved_mode(scene)
     args = jax.lax.stop_gradient((scene.clusters, origin, direction, t_cap))
+    if mode == "wave2":
+        from .wave2_traverse import wave2_closest_hit
+
+        return wave2_closest_hit(*args)
     if mode == "wave":
         from .wave_traverse import wave_closest_hit
 
@@ -146,7 +153,12 @@ def scene_occluded(scene: SceneData, origin: Vec3, direction: Vec3, t_max, time=
     if scene.tris is not None and scene.clusters is not None:
         mode = _resolved_mode(scene)
         args = jax.lax.stop_gradient((scene.clusters, origin, direction, t_max))
-        if mode == "wave":
+        if mode == "wave2":
+            from .wave2_traverse import wave2_any_hit
+
+            mesh_occ, overflow = wave2_any_hit(*args)
+            occ = occ | mesh_occ
+        elif mode == "wave":
             from .wave_traverse import wave_any_hit
 
             mesh_occ, overflow = wave_any_hit(*args)

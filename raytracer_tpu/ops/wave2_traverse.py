@@ -190,74 +190,46 @@ def _p1_extract(cs_set: ClusterSet, ox, oy, oz, dx, dy, dz, tl, cursor, kc: int)
 
 def _mt_kernel(
     # scalar prefetch
-    count_ref,  # (S,) int32 items per step
-    c_tab,  # (S, IT) int32 super id per item
-    i_tab,  # (S, IT) int32 local chunk index per item
-    lo_tab,  # (S, IT) int32 first lane of the item's run in the chunk
-    hi_tab,  # (S, IT) int32 one-past-last lane
-    # tensor operands
-    geom_hbm,  # (Cs, T, 128) packed super geometry (ANY -> manual DMA)
-    ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tl_ref,  # (1, bps*8, 128)
-    # outputs (1, bps*8, 128)
+    c_tab,  # (B,) int32 super id per 1024-pair chunk (Cs = sentinel/skip)
+    # pipelined tensor operands (BlockSpec-selected per chunk)
+    geom_ref,  # (1, T, 128) the chunk's packed super geometry
+    ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tl_ref,  # (1, 8, 128)
+    # outputs (1, 8, 128) — each chunk owns exactly one grid step (runs are
+    # filler-padded to chunk multiples), so no revisiting and no read-back
     t_out, tri_out, u_out, v_out, done_out,
-    # scratch
-    geom_buf,  # SMEM (2, T, 128)
-    sem,
     *,
     k: int,
+    cs: int,
     any_hit: bool,
 ):
-    step = pl.program_id(0)
-    count = count_ref[step]
+    b = pl.program_id(0)
+    live = c_tab[b] < cs
 
-    t_out[0] = tl_ref[0]
-    tri_out[0] = jnp.full(t_out.shape[1:], -1, jnp.int32)
-    u_out[0] = jnp.zeros(t_out.shape[1:], jnp.float32)
-    v_out[0] = jnp.zeros(t_out.shape[1:], jnp.float32)
-    done_out[0] = jnp.zeros(t_out.shape[1:], jnp.int32)
+    ox = ox_ref[0]
+    oy = oy_ref[0]
+    oz = oz_ref[0]
+    dx = dx_ref[0]
+    dy = dy_ref[0]
+    dz = dz_ref[0]
+    tl = tl_ref[0]
+    # filler / pad lanes carry tl == 0 -> they can never register a hit
+    mask = tl > 0.0
 
-    def dma(it, slot):
-        return pltpu.make_async_copy(
-            geom_hbm.at[c_tab[step, it]], geom_buf.at[slot], sem.at[slot]
-        )
+    t_out[0] = tl
+    tri_out[0] = jnp.full(tl.shape, -1, jnp.int32)
+    u_out[0] = jnp.zeros(tl.shape, jnp.float32)
+    v_out[0] = jnp.zeros(tl.shape, jnp.float32)
+    done_out[0] = jnp.where(live, mask.astype(jnp.int32), 0)
 
-    @pl.when(count > 0)
-    def _():
-        dma(0, 0).start()
-
-    lane_id = (
-        jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0) * 128
-        + jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
-    )
+    tiny = 1e-12
+    inv = lambda d: 1.0 / jnp.where(jnp.abs(d) > tiny, d, jnp.where(d >= 0, tiny, -tiny))
+    ix, iy, iz = inv(dx), inv(dy), inv(dz)
     g_base = SUB_PER_SUPER * k * 9
     b_base = SUB_PER_SUPER * k * 10
+    flat = lambda e: geom_ref[0, e // 128, e % 128]
 
-    def body(it, _):
-        slot = jax.lax.rem(it, 2)
-
-        @pl.when(it + 1 < count)
-        def _():
-            dma(it + 1, 1 - slot).start()
-
-        dma(it, slot).wait()
-        i = i_tab[step, it]
-        lo = lo_tab[step, it]
-        hi = hi_tab[step, it]
-        rows = pl.ds(i * 8, 8)
-        ox = ox_ref[0, rows, :]
-        oy = oy_ref[0, rows, :]
-        oz = oz_ref[0, rows, :]
-        dx = dx_ref[0, rows, :]
-        dy = dy_ref[0, rows, :]
-        dz = dz_ref[0, rows, :]
-        mask = (lane_id >= lo) & (lane_id < hi)
-        tiny = 1e-12
-        inv = lambda d: 1.0 / jnp.where(jnp.abs(d) > tiny, d, jnp.where(d >= 0, tiny, -tiny))
-        ix, iy, iz = inv(dx), inv(dy), inv(dz)
-
-        best_t = t_out[0, rows, :]
-
-        flat = lambda e: geom_buf[slot, e // 128, e % 128]
+    @pl.when(live)
+    def _():
         for s in range(SUB_PER_SUPER):
             bb = b_base + s * 6
             b0, b1, b2 = flat(bb), flat(bb + 1), flat(bb + 2)
@@ -276,17 +248,16 @@ def _mt_kernel(
                 jnp.minimum(jnp.maximum(t1x, t2x), jnp.maximum(t1y, t2y)),
                 jnp.maximum(t1z, t2z),
             )
-            sub_hit = mask & (bmax >= jnp.maximum(bmin, 0.0)) & (bmin < best_t)
+            sub_hit = mask & (bmax >= jnp.maximum(bmin, 0.0)) & (bmin < t_out[0])
 
             @pl.when(jnp.any(sub_hit))
             def _(s=s, sub_hit=sub_hit):
-                # re-read the freshest best from the refs: an earlier sub of
-                # THIS item may have already written a closer hit, and a
-                # stale carried best would let a farther hit overwrite it
-                bt = t_out[0, rows, :]
-                btri = tri_out[0, rows, :]
-                bu = u_out[0, rows, :]
-                bv = v_out[0, rows, :]
+                # re-read the freshest best: an earlier sub of this chunk may
+                # have written a closer hit already
+                bt = t_out[0]
+                btri = tri_out[0]
+                bu = u_out[0]
+                bv = v_out[0]
                 for q in range(k):
                     e = s * k * 9 + q * 9
                     tid = flat(g_base + s * k + q).astype(jnp.int32)
@@ -324,15 +295,10 @@ def _mt_kernel(
                         btri = jnp.where(hit, tid, btri)
                         bu = jnp.where(hit, uu, bu)
                         bv = jnp.where(hit, vv, bv)
-                t_out[0, rows, :] = bt
-                tri_out[0, rows, :] = btri
-                u_out[0, rows, :] = bu
-                v_out[0, rows, :] = bv
-
-        done_out[0, rows, :] = jnp.maximum(done_out[0, rows, :], mask.astype(jnp.int32))
-        return 0
-
-    jax.lax.fori_loop(0, count, body, 0)
+                t_out[0] = bt
+                tri_out[0] = btri
+                u_out[0] = bu
+                v_out[0] = bv
 
 
 def _searchsorted(sorted_arr, queries):
@@ -350,11 +316,8 @@ def _round(cs_set: ClusterSet, ox, oy, oz, dx, dy, dz, tl, cursor, kc: int, bps:
     cand, remaining = _p1_extract(cs_set, ox, oy, oz, dx, dy, dz, tl, cursor, kc)
 
     p = n * kc
-    b = -(-p // CHUNK)
-    steps = -(-b // bps)
-    b_pad = steps * bps
-    p_pad = b_pad * CHUNK
-    it_cap = bps * M_RUNS  # exact upper bound: a chunk emits at most M items
+    p_pad = -(-p // CHUNK) * CHUNK
+    del bps  # grid is per-chunk now; kept in the signature for jit stability
 
     def pad_to(x, length, fill):
         extra = length - x.shape[0]
@@ -375,71 +338,100 @@ def _round(cs_set: ClusterSet, ox, oy, oz, dx, dy, dz, tl, cursor, kc: int, bps:
         jax.lax.sort(sort_in, num_keys=1)
     )
 
-    # run table + per-chunk item lists
+    # --- filler-padded destination keys: every cluster's pair-run is padded
+    # to CHUNK multiples so each 1024-pair chunk belongs to exactly ONE
+    # cluster — nothing can ever be dropped (no run-crossing items), which
+    # is what makes the resume/continuation loop terminate unconditionally.
     start = _searchsorted(sk, jnp.arange(cs + 1, dtype=jnp.int32) - 1)  # first pair with id >= c
-    q0 = jnp.arange(b_pad, dtype=jnp.int32) * CHUNK
-    f_q = _searchsorted(start, q0) - 1  # run containing the chunk's first pair
-    c_qm = f_q[:, None] + jnp.arange(M_RUNS, dtype=jnp.int32)[None, :]  # (B, M)
-    c_ok = (c_qm >= 0) & (c_qm < cs)
-    cq = jnp.clip(c_qm, 0, cs)
-    lo = jnp.clip(start[cq] - q0[:, None], 0, CHUNK)
-    hi = jnp.clip(start[jnp.minimum(cq + 1, cs)] - q0[:, None], 0, CHUNK)
-    valid = c_ok & (lo < hi)
+    pos = jnp.arange(p_pad, dtype=jnp.int32)
+    is_start = jnp.concatenate([jnp.ones(1, bool), sk[1:] != sk[:-1]])
+    run_start = jax.lax.cummax(jnp.where(is_start, pos, 0))
+    prev_start = jnp.concatenate([jnp.zeros(1, jnp.int32), run_start[:-1]])
+    prev_len = pos - prev_start  # at a run start: length of the PREVIOUS run
+    v_p = jnp.where(is_start & (pos > 0), (-prev_len) % CHUNK, 0)
+    cum_pad = jnp.cumsum(v_p)
+    d_p = pos + cum_pad  # padded destination of each pair (ascending)
 
-    # compact items per step
-    vflat = valid.reshape(steps, bps * M_RUNS)
-    cflat = jnp.where(valid, cq, 0).reshape(steps, bps * M_RUNS)
-    iflat = jnp.broadcast_to(
-        (jnp.arange(b_pad, dtype=jnp.int32) % bps)[:, None], (b_pad, M_RUNS)
-    ).reshape(steps, bps * M_RUNS)
-    loflat = lo.reshape(steps, bps * M_RUNS)
-    hiflat = hi.reshape(steps, bps * M_RUNS)
-    order = jnp.argsort(~vflat, axis=1, stable=True)[:, :it_cap]
-    take = lambda a: jnp.take_along_axis(a, order, axis=1)
-    item_c = take(cflat)
-    item_i = take(iflat)
-    item_lo = take(loflat)
-    item_hi = take(hiflat)
-    item_valid = take(vflat)
-    # items beyond the table capacity are dropped, not processed — their
-    # pairs keep done == 0 and flow into the continuation loop
-    item_count = jnp.minimum(jnp.sum(vflat.astype(jnp.int32), axis=1), it_cap)
-    item_c = jnp.where(item_valid, item_c, 0)
+    # filler keys fill each cluster's gap [D_c + len_c, D_c + len_c + pad_c)
+    cp_at = cum_pad[jnp.minimum(start, p_pad - 1)]
+    d_c = start + cp_at  # (Cs+1,) padded start of each cluster's region
+    len_c = start[1:] - start[:-1]  # (Cs,) real clusters only
+    pad_c = (-len_c) % CHUNK
+    gap_start = d_c[:cs] + len_c
+    f = -(-(cs * (CHUNK - 1)) // CHUNK) * CHUNK  # filler budget (CHUNK-mult)
+    d_len = p_pad + f
+    jj = jnp.arange(CHUNK - 1, dtype=jnp.int32)[None, :]
+    fill_key = jnp.where(
+        jj < pad_c[:, None], gap_start[:, None] + jj, jnp.int32(2**30)
+    ).reshape(-1)
+    fill_key = jnp.concatenate(
+        [fill_key, jnp.full((f - fill_key.shape[0],), 2**30, jnp.int32)]
+    )
 
-    tile = lambda x: x.reshape(steps, bps * 8, 128)
-    pair_spec = pl.BlockSpec((1, bps * 8, 128), lambda s, *_: (s, 0, 0), memory_space=pltpu.VMEM)
+    def with_fillers(x, fill):
+        return jnp.concatenate([x, jnp.full((f,), fill, x.dtype)])
+
+    sort2_in = jax.lax.optimization_barrier(
+        [jnp.concatenate([d_p, fill_key]),
+         with_fillers(sidx, p_pad),
+         with_fillers(sox, 0.0), with_fillers(soy, 0.0), with_fillers(soz, 0.0),
+         with_fillers(sdx, 1.0), with_fillers(sdy, 0.0), with_fillers(sdz, 0.0),
+         with_fillers(stl, 0.0)]
+    )
+    _, fidx, fox, foy, foz, fdx, fdy, fdz, ftl = jax.lax.optimization_barrier(
+        jax.lax.sort(sort2_in, num_keys=1)
+    )
+
+    # per-chunk cluster table: chunk b sits in the region of the cluster
+    # whose padded start is the last one <= 1024*b (sentinel-region -> Cs)
+    b2 = d_len // CHUNK
+    block_cluster = jnp.minimum(
+        _searchsorted(d_c, jnp.arange(b2, dtype=jnp.int32) * CHUNK) - 1, cs
+    )
+    block_cluster = jnp.clip(block_cluster, 0, cs)
+
+    chunked = lambda x: x.reshape(b2, 8, 128)
+    t_tiles = cs_set.super_stream.shape[1]
+    n_supers = cs  # OOB block indices fault the TPU: clamp defensively
+    geom_spec = pl.BlockSpec(
+        (1, t_tiles, 128),
+        lambda i, c: (jnp.clip(c[i], 0, n_supers - 1), 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    pair_spec = pl.BlockSpec(
+        (1, 8, 128), lambda i, c: (i, 0, 0), memory_space=pltpu.VMEM
+    )
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=5,
-        grid=(steps,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] + [pair_spec] * 7,
+        num_scalar_prefetch=1,
+        grid=(b2,),
+        in_specs=[geom_spec] + [pair_spec] * 7,
         out_specs=[pair_spec] * 5,
-        scratch_shapes=[
-            pltpu.SMEM((2,) + tuple(cs_set.super_stream.shape[1:]), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
     )
     out_shape = [
-        jax.ShapeDtypeStruct((steps, bps * 8, 128), jnp.float32),
-        jax.ShapeDtypeStruct((steps, bps * 8, 128), jnp.int32),
-        jax.ShapeDtypeStruct((steps, bps * 8, 128), jnp.float32),
-        jax.ShapeDtypeStruct((steps, bps * 8, 128), jnp.float32),
-        jax.ShapeDtypeStruct((steps, bps * 8, 128), jnp.int32),
+        jax.ShapeDtypeStruct((b2, 8, 128), jnp.float32),
+        jax.ShapeDtypeStruct((b2, 8, 128), jnp.int32),
+        jax.ShapeDtypeStruct((b2, 8, 128), jnp.float32),
+        jax.ShapeDtypeStruct((b2, 8, 128), jnp.float32),
+        jax.ShapeDtypeStruct((b2, 8, 128), jnp.int32),
     ]
     t_s, tri_s, u_s, v_s, done_s = pl.pallas_call(
-        functools.partial(_mt_kernel, k=cs_set.tris_per_cluster, any_hit=any_hit),
+        functools.partial(
+            _mt_kernel, k=cs_set.tris_per_cluster, cs=cs, any_hit=any_hit
+        ),
         grid_spec=grid_spec,
         out_shape=out_shape,
         interpret=_interpret(),
     )(
-        item_count, item_c, item_i, item_lo, item_hi,
+        block_cluster,
         cs_set.super_stream,
-        tile(sox), tile(soy), tile(soz), tile(sdx), tile(sdy), tile(sdz), tile(stl),
+        chunked(fox), chunked(foy), chunked(foz),
+        chunked(fdx), chunked(fdy), chunked(fdz), chunked(ftl),
     )
 
-    # back to ray-major pair order (barriers: see sort#1 note)
+    # back to ray-major pair order (fillers carry idx >= p_pad -> tail)
     sort3_in = jax.lax.optimization_barrier(
-        [sidx, t_s.reshape(p_pad), tri_s.reshape(p_pad), u_s.reshape(p_pad),
-         v_s.reshape(p_pad), done_s.reshape(p_pad)]
+        [fidx, t_s.reshape(d_len), tri_s.reshape(d_len), u_s.reshape(d_len),
+         v_s.reshape(d_len), done_s.reshape(d_len)]
     )
     _, t_p, tri_p, u_p, v_p, done_p = jax.lax.optimization_barrier(
         jax.lax.sort(sort3_in, num_keys=1)

@@ -131,7 +131,7 @@ def _trace_at(scene, meta, cam, cx, cy, pixel_ids, pass_idx, halton, vp, params)
         u_t, stream = next_1d(stream)
         time = u_t * vp.motion_blur_strength
     rays, stream = generate_rays(cam, cx, cy, stream, time=time)
-    return trace_radiance(scene, meta, rays, stream, params, time=time)
+    return trace_radiance(scene, meta, rays, stream, params, time=time, pass_idx=pass_idx)
 
 
 def render_pass(

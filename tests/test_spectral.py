@@ -147,3 +147,26 @@ class TestSpectralRendering:
             return np.abs(img - mean).mean()
 
         assert chroma(img_disp) > 1.5 * chroma(img_flat)
+
+
+class TestHeroStratification:
+    def test_pass_strata_cover_spectrum(self):
+        """8 consecutive passes place the hero wavelength in 8 disjoint bins
+        covering [LO, HI) — the pass-level analogue of the reference's 8
+        rotated wavelengths (`Wavelength.cpp:10-21`)."""
+        import jax.numpy as jnp
+        from raytracer_tpu.color.spectrum import (
+            NUM_STRATA, WAVELENGTH_HI, WAVELENGTH_LO, sample_wavelength_stratified,
+        )
+
+        u = jnp.asarray(0.5)
+        lams = [
+            float(sample_wavelength_stratified(u, jnp.int32(p)))
+            for p in range(NUM_STRATA)
+        ]
+        width = (WAVELENGTH_HI - WAVELENGTH_LO) / NUM_STRATA
+        for j, lam in enumerate(lams):
+            assert WAVELENGTH_LO + j * width <= lam < WAVELENGTH_LO + (j + 1) * width
+        # next cycle repeats the strata
+        lam8 = float(sample_wavelength_stratified(u, jnp.int32(NUM_STRATA)))
+        assert abs(lam8 - lams[0]) < 1e-3
