@@ -32,11 +32,15 @@ MODE_EMISSION = "Emission"
 MODE_ROUGHNESS = "Roughness"
 MODE_METALNESS = "Metalness"
 MODE_IOR = "IoR"
+# traversal-work heatmap: the reference's intersection-counter AOVs
+# (`DebugRenderer.h:27-33`, counters `Counters.h:43-48`)
+MODE_TRAVERSAL_COST = "TraversalCost"
 
 ALL_MODES = (
     MODE_CAMERA_LIGHT, MODE_TRIANGLE_ID, MODE_DEPTH, MODE_POSITION,
     MODE_NORMALS, MODE_TANGENTS, MODE_BITANGENTS, MODE_TEXCOORDS,
     MODE_BASE_COLOR, MODE_EMISSION, MODE_ROUGHNESS, MODE_METALNESS, MODE_IOR,
+    MODE_TRAVERSAL_COST,
 )
 
 
@@ -61,15 +65,10 @@ def render_debug(
     hits = scene_traverse(scene, rays.origin, rays.dir)
     miss = hits.t >= BIG * 0.5
     hits_safe = hits._replace(t=jnp.clip(hits.t, 0.0, 1e12))
-    frame = eval_prim_frame(scene.prims, hits_safe.prim_id, rays.origin, rays.dir, hits_safe.t)
-    if scene.tris is not None:
-        from ..ops.bvh_traverse import eval_tri_frame
-        from .path_tracer import _merge_frames
-
-        tri_frame = eval_tri_frame(scene.tris, hits_safe, rays.origin, rays.dir)
-        frame = _merge_frames(hits.tri_id >= 0, tri_frame, frame)
     from ..ops.materials import apply_normal_map
+    from ..ops.traverse import scene_hit_frame
 
+    frame = scene_hit_frame(scene, hits_safe, rays.origin, rays.dir)
     frame = apply_normal_map(scene, frame)
     mp = resolve_material(scene, frame.material_id, frame.tex_u, frame.tex_v)
 
@@ -77,6 +76,13 @@ def render_debug(
         # headlight shading (`DebugRenderer.cpp` CameraLight mode)
         c = jnp.abs(dot(frame.normal, -rays.dir))
         out = mp.base_color * c
+    elif mode == MODE_TRAVERSAL_COST:
+        # green->red heat by triangle-test work, log-scaled
+        from ..ops.traverse import scene_traversal_cost
+
+        box_t, tri_t = scene_traversal_cost(scene, rays.origin, rays.dir)
+        heat = jnp.clip(jnp.log1p(box_t + tri_t) / jnp.log(jnp.asarray(50000.0)), 0.0, 1.0)
+        out = Vec3(heat, 1.0 - heat, jnp.zeros_like(heat))
     elif mode == MODE_TRIANGLE_ID:
         combined = jnp.where(hits.tri_id >= 0, hits.tri_id, hits.prim_id + 0x40000000)
         out = _id_color(combined)

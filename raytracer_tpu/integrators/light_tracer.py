@@ -97,15 +97,10 @@ def trace_light_wavefront(
 
         from ..ops.intersect import eval_prim_frame
 
-        frame = eval_prim_frame(scene.prims, hits.prim_id, state.origin, state.direction, hits.t)
-        if scene.tris is not None:
-            from ..ops.bvh_traverse import eval_tri_frame
-            from .path_tracer import _merge_frames
-
-            tri_frame = eval_tri_frame(scene.tris, hits, state.origin, state.direction)
-            frame = _merge_frames(hits.tri_id >= 0, tri_frame, frame)
         from ..ops.materials import apply_normal_map
+        from ..ops.traverse import scene_hit_frame
 
+        frame = scene_hit_frame(scene, hits, state.origin, state.direction)
         frame = apply_normal_map(scene, frame)
 
         # stop on miss or on hitting a light (`LightTracer.cpp:79-87`)

@@ -55,6 +55,10 @@ class RenderParams:
     # each path samples one wavelength; dispersive dielectrics get a Cauchy
     # wavelength-dependent IoR and collapse the path to that wavelength
     spectral: bool = False
+    # opt-in per-ray traversal-work counters (the analogue of the
+    # reference's compile-gated `RT_ENABLE_INTERSECTION_COUNTERS`,
+    # `Config.h:4`, `Counters.h:43-48`) — extra slab passes when enabled
+    count_traversal: bool = False
     # unroll the bounce loop instead of lax.scan: larger program/compile time,
     # but lets XLA optimize across bounces.  Purely a performance knob — AD is
     # safe on both paths (the historical "scan-linearization NaN" was really a
@@ -71,6 +75,10 @@ class Counters(NamedTuple):
     # rays whose mesh traversal may have been truncated by the candidate
     # budget (ops/traverse.py "no silent caps"); 0 on exact backends
     num_overflow: jnp.ndarray = None
+    # opt-in (RenderParams.count_traversal) ray-box / ray-triangle test
+    # totals (`Counters.h:43-48`)
+    num_box_tests: jnp.ndarray = None
+    num_tri_tests: jnp.ndarray = None
 
 
 def _combine_mis(sample_pdf, other_pdf):
@@ -90,6 +98,8 @@ class _PathState(NamedTuple):
     num_rays: jnp.ndarray
     num_shadow_rays: jnp.ndarray
     num_overflow: jnp.ndarray
+    num_box_tests: jnp.ndarray
+    num_tri_tests: jnp.ndarray
     # spectral mode: True once the path's hero wavelength collapsed at a
     # dispersive event (`RoughDielectricBSDF.cpp:29-44`); the resolve weight
     # is applied exactly once
@@ -266,12 +276,23 @@ def trace_radiance(
         num_rays=jnp.zeros((), jnp.float32),
         num_shadow_rays=jnp.zeros((), jnp.float32),
         num_overflow=jnp.zeros((), jnp.float32),
+        num_box_tests=jnp.zeros((), jnp.float32),
+        num_tri_tests=jnp.zeros((), jnp.float32),
         dispersed=jnp.zeros(n, bool) if params.spectral else None,
     )
 
     def bounce(state: _PathState, depth) -> _PathState:
         num_rays = state.num_rays + jnp.sum(state.alive.astype(jnp.float32))
         hits = scene_traverse(scene, state.origin, state.direction, time=time)
+        num_box = state.num_box_tests
+        num_tri = state.num_tri_tests
+        if params.count_traversal:
+            from ..ops.traverse import scene_traversal_cost
+
+            bt, tt = scene_traversal_cost(scene, state.origin, state.direction, time=time)
+            live = state.alive.astype(jnp.float32)
+            num_box = num_box + jnp.sum(bt * live)
+            num_tri = num_tri + jnp.sum(tt * live)
         num_overflow = state.num_overflow
         if hits.overflow is not None:
             num_overflow = num_overflow + jnp.sum(
@@ -291,16 +312,10 @@ def trace_radiance(
         result = state.result + state.throughput * bg * m_miss
 
         # --- shading frame at the hit ----------------------------------------
-        frame = eval_prim_frame(
-            scene.prims, hits.prim_id, state.origin, state.direction, hits.t, time=time
-        )
-        if scene.tris is not None:
-            from ..ops.bvh_traverse import eval_tri_frame
-
-            tri_frame = eval_tri_frame(scene.tris, hits, state.origin, state.direction)
-            frame = _merge_frames(hits.tri_id >= 0, tri_frame, frame)
         from ..ops.materials import apply_normal_map
+        from ..ops.traverse import scene_hit_frame
 
+        frame = scene_hit_frame(scene, hits, state.origin, state.direction, time=time)
         frame = apply_normal_map(scene, frame)
 
         # --- direct light hit (`PathTracerMIS.cpp:174-212`) -------------------
@@ -419,6 +434,8 @@ def trace_radiance(
             num_rays=num_rays,
             num_shadow_rays=num_shadow,
             num_overflow=num_overflow,
+            num_box_tests=num_box,
+            num_tri_tests=num_tri,
             dispersed=dispersed,
         )
 
@@ -431,4 +448,7 @@ def trace_radiance(
     else:
         depths = jnp.arange(params.max_depth + 1)
         state, _ = jax.lax.scan(lambda s, d: (bounce(s, d), None), init, depths)
-    return state.result, Counters(state.num_rays, state.num_shadow_rays, state.num_overflow)
+    return state.result, Counters(
+        state.num_rays, state.num_shadow_rays, state.num_overflow,
+        state.num_box_tests, state.num_tri_tests,
+    )

@@ -103,16 +103,11 @@ class _PathState(NamedTuple):
 
 
 def _shade_frame(scene, hits, origin, direction):
-    frame = eval_prim_frame(scene.prims, hits.prim_id, origin, direction, hits.t)
-    if scene.tris is not None:
-        from ..ops.bvh_traverse import eval_tri_frame
-
-        tri_frame = eval_tri_frame(scene.tris, hits, origin, direction)
-        frame = _merge_frames(hits.tri_id >= 0, tri_frame, frame)
     from ..ops.materials import apply_normal_map
+    from ..ops.traverse import scene_hit_frame
 
-    frame = apply_normal_map(scene, frame)
-    return frame
+    frame = scene_hit_frame(scene, hits, origin, direction)
+    return apply_normal_map(scene, frame)
 
 
 def _trace_light_phase(scene, meta, cam, stream, vcm: VcmParams, n_paths,

@@ -166,6 +166,17 @@ def _parse_materials(doc: dict, builder: SceneBuilder, tex: "_TexResolver"):
 
 
 def _parse_objects(doc: dict, builder: SceneBuilder, data_path: str):
+    # a mesh path used by MULTIPLE objects becomes a shared object-space
+    # geometry + per-object instances (geometry stored once — the
+    # reference's shared Mesh across ShapeSceneObjects, `Scene.cpp:128-145`)
+    from collections import Counter
+
+    path_uses = Counter(
+        (o.get("path"), float(o.get("scale", 1.0)))
+        for o in doc.get("objects", [])
+        if o.get("type") == "mesh"
+    )
+    mesh_geom_cache: dict = {}
     for o in doc.get("objects", []):
         typ = o.get("type")
         tf = parse_transform(o.get("transform"))
@@ -199,7 +210,15 @@ def _parse_objects(doc: dict, builder: SceneBuilder, data_path: str):
                     )
                 )
             fm = np.asarray([remap[i] for i in mesh.face_materials], np.int64)
-            builder.add_mesh(mesh.vertices, mesh.faces, mesh.normals, mesh.uvs, fm, tf)
+            key = (path, float(o.get("scale", 1.0)))
+            if path_uses[key] > 1 and getattr(tf, "scale", 1.0) == 1.0:
+                if key not in mesh_geom_cache:
+                    mesh_geom_cache[key] = builder.add_mesh_geometry(
+                        mesh.vertices, mesh.faces, mesh.normals, mesh.uvs, fm
+                    )
+                builder.add_mesh_instance(mesh_geom_cache[key], tf)
+            else:
+                builder.add_mesh(mesh.vertices, mesh.faces, mesh.normals, mesh.uvs, fm, tf)
         elif typ == "csg":
             raise SceneLoadError("csg objects not supported yet")
         else:

@@ -37,6 +37,9 @@ class Hits(NamedTuple):
     # True where the traversal backend may have truncated (candidate-budget
     # overflow, see ops/traverse.py) — surfaced via Counters, never silent
     overflow: jnp.ndarray = None
+    # instance index for hits on instanced meshes (scene.instances);
+    # -1 = baked geometry / analytic prim / miss
+    inst_id: jnp.ndarray = None
 
 
 def _local_ray(prim_rot: Rot3, prim_trans: Vec3, origin: Vec3, direction: Vec3):

@@ -72,12 +72,11 @@ def _resolved_mode(scene: SceneData) -> str:
     return "wave2" if jax.default_backend() in ("tpu", "axon") else "wave"
 
 
-def _mesh_closest(scene: SceneData, origin: Vec3, direction: Vec3, t_cap):
-    """Dispatch closest-hit to the selected mesh backend.
+def _cs_closest(mode, clusters, bvh, tris, origin: Vec3, direction: Vec3, t_cap):
+    """Dispatch closest-hit over ONE cluster set to the selected backend.
 
     Returns (t, tri_id, u, v, overflow)."""
-    mode = _resolved_mode(scene)
-    args = jax.lax.stop_gradient((scene.clusters, origin, direction, t_cap))
+    args = jax.lax.stop_gradient((clusters, origin, direction, t_cap))
     if mode == "wave2":
         from .wave2_traverse import wave2_closest_hit
 
@@ -93,52 +92,205 @@ def _mesh_closest(scene: SceneData, origin: Vec3, direction: Vec3, t_cap):
     if mode == "bvh":
         from .bvh_traverse import bvh_closest_hit
 
-        t_t, tid, tu, tv = bvh_closest_hit(scene.bvh, scene.tris, origin, direction, t_cap)
+        t_t, tid, tu, tv = bvh_closest_hit(bvh, tris, origin, direction, t_cap)
         return t_t, tid, tu, tv, jnp.zeros(origin.x.shape, bool)
     from .cluster_traverse import cluster_closest_hit
 
     return cluster_closest_hit(*args)
 
 
+def _cs_occluded(mode, clusters, bvh, tris, origin: Vec3, direction: Vec3, t_max):
+    """Any-hit over ONE cluster set. Returns (occluded, overflow)."""
+    n = origin.x.shape
+    args = jax.lax.stop_gradient((clusters, origin, direction, t_max))
+    if mode == "wave2":
+        from .wave2_traverse import wave2_any_hit
+
+        return wave2_any_hit(*args)
+    if mode == "wave":
+        from .wave_traverse import wave_any_hit
+
+        return wave_any_hit(*args)
+    if mode == "sorted-pallas":
+        from .pallas_traverse import pallas_sorted_any_hit
+
+        return pallas_sorted_any_hit(*args)
+    if mode == "bvh":
+        from .bvh_traverse import bvh_any_hit
+
+        return bvh_any_hit(bvh, tris, origin, direction, t_max), jnp.zeros(n, bool)
+    from .cluster_traverse import cluster_any_hit
+
+    return cluster_any_hit(*args), jnp.zeros(n, bool)
+
+
+def _instance_local_ray(scene: SceneData, i: int, origin: Vec3, direction: Vec3, time):
+    """World ray -> instance i's object space (`Scene::Traverse_Object`,
+    `Scene.cpp:128-145`): rigid inverse at the ray's shutter time."""
+    from ..scene.types import Rot3
+
+    inst = scene.instances
+    at = lambda v: Vec3(v.x[i], v.y[i], v.z[i])
+    rot = Rot3(at(inst.rot.r0), at(inst.rot.r1), at(inst.rot.r2))
+    trans = at(inst.trans)
+    if time is not None:
+        trans = trans + at(inst.vel) * time
+    o_l = rot.to_local(origin - trans)
+    d_l = rot.to_local(direction)
+    return o_l, d_l
+
+
 def scene_traverse(scene: SceneData, origin: Vec3, direction: Vec3, t_max=None, time=None) -> Hits:
     """``time`` (N,): per-ray shutter time for motion blur (analytic prims
-    only; meshes are pre-transformed static world-space geometry)."""
+    and instanced meshes; baked world-space triangles are static)."""
     n = origin.x.shape
     if t_max is None:
         t_max = jnp.full(n, BIG)
     t_p, pid = intersect_prims(scene.prims, origin, direction, t_max, time)
+    mode = _resolved_mode(scene)
 
-    tri_result = None
+    best_t = t_p
+    best_prim = pid
+    best_tri = jnp.full(n, -1, jnp.int32)
+    best_u = jnp.zeros(n, jnp.float32)
+    best_v = jnp.zeros(n, jnp.float32)
+    best_inst = jnp.full(n, -1, jnp.int32)
     overflow = jnp.zeros(n, bool)
+
+    def fold(t_t, tid, tu, tv, inst_id):
+        nonlocal best_t, best_prim, best_tri, best_u, best_v, best_inst
+        closer = (t_t < best_t) & (tid >= 0)
+        best_t = jnp.where(closer, t_t, best_t)
+        best_prim = jnp.where(closer, -1, best_prim)
+        best_tri = jnp.where(closer, tid, best_tri)
+        best_u = jnp.where(closer, tu, best_u)
+        best_v = jnp.where(closer, tv, best_v)
+        best_inst = jnp.where(closer, inst_id, best_inst)
+
     if scene.tris is not None and scene.clusters is not None:
-        t_t, tid, tu, tv, overflow = _mesh_closest(
-            scene, origin, direction, jnp.minimum(t_p, t_max)
+        t_t, tid, tu, tv, ovf = _cs_closest(
+            mode, scene.clusters, scene.bvh, scene.tris, origin, direction,
+            jnp.minimum(t_p, t_max),
         )
-        tri_result = (t_t, tid, tu, tv)
+        overflow = overflow | ovf
+        fold(t_t, tid, tu, tv, -1)
     elif scene.tris is not None and scene.bvh is not None:
         from .bvh_traverse import bvh_closest_hit
 
-        tri_result = bvh_closest_hit(
+        t_t, tid, tu, tv = bvh_closest_hit(
             scene.bvh, scene.tris, origin, direction, jnp.minimum(t_p, t_max)
         )
+        fold(t_t, tid, tu, tv, -1)
 
-    if tri_result is not None:
-        t_t, tid, tu, tv = tri_result
-        tri_closer = t_t < t_p
-        return Hits(
-            t=jnp.where(tri_closer, t_t, t_p),
-            prim_id=jnp.where(tri_closer, -1, pid),
-            tri_id=jnp.where(tri_closer, tid, -1),
-            u=jnp.where(tri_closer, tu, 0.0),
-            v=jnp.where(tri_closer, tv, 0.0),
-            overflow=overflow,
-        )
+    if scene.instances is not None:
+        # two-level traversal: ray -> instance space, shared mesh geometry
+        # traced once per instance (`Scene.cpp:128-145` semantics; geometry
+        # is stored ONCE per mesh regardless of instance count)
+        inst_mode = mode if mode != "bvh" else "wave"  # per-mesh BVH not kept
+        for i, mid in enumerate(scene.instances.mesh_ids):
+            geom = scene.mesh_geoms[mid]
+            o_l, d_l = _instance_local_ray(scene, i, origin, direction, time)
+            t_t, tid, tu, tv, ovf = _cs_closest(
+                inst_mode, geom.clusters, None, geom.tris, o_l, d_l, best_t
+            )
+            overflow = overflow | ovf
+            fold(t_t, tid, tu, tv, i)
 
-    zeros = jnp.zeros(n, jnp.float32)
     return Hits(
-        t=t_p, prim_id=pid, tri_id=jnp.full(n, -1, jnp.int32), u=zeros, v=zeros,
-        overflow=overflow,
+        t=best_t, prim_id=best_prim, tri_id=best_tri, u=best_u, v=best_v,
+        overflow=overflow, inst_id=best_inst,
     )
+
+
+def scene_traversal_cost(scene: SceneData, origin: Vec3, direction: Vec3, time=None):
+    """Per-ray traversal-work estimate: (box_tests, tri_tests).
+
+    The observability counterpart of the reference's compile-gated
+    intersection counters (`Core/Rendering/Counters.h:43-48`,
+    `RT_ENABLE_INTERSECTION_COUNTERS`, heatmap AOVs `DebugRenderer.h:27-33`):
+    box tests = analytic prims + super/sub-cluster slab tests, tri tests =
+    64 x the sub-clusters whose box a ray overlaps (exactly the
+    Moller-Trumbore work the production wave engines perform)."""
+    n = origin.x.shape
+    box_tests = jnp.full(n, float(scene.prims.count), jnp.float32)
+    tri_tests = jnp.zeros(n, jnp.float32)
+    tiny = 1e-12
+    inv = lambda d: 1.0 / jnp.where(jnp.abs(d) > tiny, d, jnp.where(d >= 0, tiny, -tiny))
+    ix, iy, iz = inv(direction.x), inv(direction.y), inv(direction.z)
+
+    def cs_cost(cs_set, o, invd):
+        k = cs_set.tris_per_cluster
+        boxes = jnp.stack(
+            [cs_set.box_min_x, cs_set.box_min_y, cs_set.box_min_z,
+             cs_set.box_max_x, cs_set.box_max_y, cs_set.box_max_z], axis=1
+        )
+        t1x = (boxes[None, :, 0] - o[0][:, None]) * invd[0][:, None]
+        t2x = (boxes[None, :, 3] - o[0][:, None]) * invd[0][:, None]
+        t1y = (boxes[None, :, 1] - o[1][:, None]) * invd[1][:, None]
+        t2y = (boxes[None, :, 4] - o[1][:, None]) * invd[1][:, None]
+        t1z = (boxes[None, :, 2] - o[2][:, None]) * invd[2][:, None]
+        t2z = (boxes[None, :, 5] - o[2][:, None]) * invd[2][:, None]
+        tmin = jnp.maximum(
+            jnp.maximum(jnp.minimum(t1x, t2x), jnp.minimum(t1y, t2y)),
+            jnp.minimum(t1z, t2z),
+        )
+        tmax = jnp.minimum(
+            jnp.minimum(jnp.maximum(t1x, t2x), jnp.maximum(t1y, t2y)),
+            jnp.maximum(t1z, t2z),
+        )
+        hit = tmax >= jnp.maximum(tmin, 0.0)
+        overlapped = jnp.sum(hit.astype(jnp.float32), axis=1)
+        return jnp.full(n, float(cs_set.num_clusters), jnp.float32), overlapped * k
+
+    if scene.clusters is not None:
+        o = (origin.x, origin.y, origin.z)
+        b, t = cs_cost(scene.clusters, o, (ix, iy, iz))
+        box_tests = box_tests + b
+        tri_tests = tri_tests + t
+    if scene.instances is not None:
+        for i, mid in enumerate(scene.instances.mesh_ids):
+            o_l, d_l = _instance_local_ray(scene, i, origin, direction, time)
+            il = (
+                inv(d_l.x), inv(d_l.y), inv(d_l.z)
+            )
+            b, t = cs_cost(scene.mesh_geoms[mid].clusters, (o_l.x, o_l.y, o_l.z), il)
+            box_tests = box_tests + b
+            tri_tests = tri_tests + t
+    return box_tests, tri_tests
+
+
+def scene_hit_frame(scene: SceneData, hits: Hits, origin: Vec3, direction: Vec3, time=None):
+    """Shading frame for any hit kind — analytic prim, baked triangle, or
+    instanced-mesh triangle (object-space attributes rotated into world, the
+    `Scene::EvaluateIntersection` local->world step, `Scene.cpp:344-350`)."""
+    from ..scene.types import Rot3
+    from .bvh_traverse import eval_tri_frame
+    from .intersect import eval_prim_frame
+
+    frame = eval_prim_frame(scene.prims, hits.prim_id, origin, direction, hits.t, time=time)
+    is_tri = hits.tri_id >= 0
+    inst = hits.inst_id if hits.inst_id is not None else jnp.full(origin.x.shape, -1, jnp.int32)
+    if scene.tris is not None:
+        from ..integrators.path_tracer import _merge_frames
+
+        tri_frame = eval_tri_frame(scene.tris, hits, origin, direction)
+        frame = _merge_frames(is_tri & (inst < 0), tri_frame, frame)
+    if scene.instances is not None:
+        from ..integrators.path_tracer import _merge_frames
+
+        ii = scene.instances
+        for i, mid in enumerate(ii.mesh_ids):
+            geom = scene.mesh_geoms[mid]
+            f_i = eval_tri_frame(geom.tris, hits, origin, direction)
+            at = lambda v: Vec3(v.x[i], v.y[i], v.z[i])
+            rot = Rot3(at(ii.rot.r0), at(ii.rot.r1), at(ii.rot.r2))
+            f_w = f_i._replace(
+                normal=rot.to_world(f_i.normal),
+                tangent=rot.to_world(f_i.tangent),
+                bitangent=rot.to_world(f_i.bitangent),
+            )
+            frame = _merge_frames(is_tri & (inst == i), f_w, frame)
+    return frame
 
 
 def scene_occluded(scene: SceneData, origin: Vec3, direction: Vec3, t_max, time=None):
@@ -150,34 +302,27 @@ def scene_occluded(scene: SceneData, origin: Vec3, direction: Vec3, t_max, time=
     t_p, _ = intersect_prims(scene.prims, origin, direction, t_max, time)
     occ = t_p < t_max
     overflow = jnp.zeros(n, bool)
+    mode = _resolved_mode(scene)
     if scene.tris is not None and scene.clusters is not None:
-        mode = _resolved_mode(scene)
-        args = jax.lax.stop_gradient((scene.clusters, origin, direction, t_max))
-        if mode == "wave2":
-            from .wave2_traverse import wave2_any_hit
-
-            mesh_occ, overflow = wave2_any_hit(*args)
-            occ = occ | mesh_occ
-        elif mode == "wave":
-            from .wave_traverse import wave_any_hit
-
-            mesh_occ, overflow = wave_any_hit(*args)
-            occ = occ | mesh_occ
-        elif mode == "sorted-pallas":
-            from .pallas_traverse import pallas_sorted_any_hit
-
-            mesh_occ, overflow = pallas_sorted_any_hit(*args)
-            occ = occ | mesh_occ
-        elif mode == "bvh":
-            from .bvh_traverse import bvh_any_hit
-
-            occ = occ | bvh_any_hit(scene.bvh, scene.tris, origin, direction, t_max)
-        else:
-            from .cluster_traverse import cluster_any_hit
-
-            occ = occ | cluster_any_hit(*args)
+        mesh_occ, ovf = _cs_occluded(
+            mode, scene.clusters, scene.bvh, scene.tris, origin, direction, t_max
+        )
+        occ = occ | mesh_occ
+        overflow = overflow | ovf
     elif scene.tris is not None and scene.bvh is not None:
         from .bvh_traverse import bvh_any_hit
 
         occ = occ | bvh_any_hit(scene.bvh, scene.tris, origin, direction, t_max)
+    if scene.instances is not None:
+        inst_mode = mode if mode != "bvh" else "wave"
+        for i, mid in enumerate(scene.instances.mesh_ids):
+            geom = scene.mesh_geoms[mid]
+            o_l, d_l = _instance_local_ray(scene, i, origin, direction, time)
+            # already-occluded rays query with t_max = 0 (early-out analogue)
+            lim = jnp.where(occ, 0.0, jnp.asarray(t_max) * jnp.ones(n, jnp.float32))
+            mesh_occ, ovf = _cs_occluded(
+                inst_mode, geom.clusters, None, geom.tris, o_l, d_l, lim
+            )
+            occ = occ | mesh_occ
+            overflow = overflow | ovf
     return occ, overflow

@@ -192,6 +192,8 @@ class Viewport:
         self.total_rays = 0.0
         self.total_shadow_rays = 0.0
         self.total_overflow = 0.0
+        self.total_box_tests = 0.0
+        self.total_tri_tests = 0.0
 
         self._pass_fn = _jitted_render_pass
 
@@ -201,6 +203,8 @@ class Viewport:
         self.total_rays = 0.0
         self.total_shadow_rays = 0.0
         self.total_overflow = 0.0
+        self.total_box_tests = 0.0
+        self.total_tri_tests = 0.0
 
     def render(self, n_passes: int = 1):
         """Run ``n_passes`` accumulation passes (`Viewport::Render`)."""
@@ -215,6 +219,9 @@ class Viewport:
             )
             self.total_rays += float(counters.num_rays)
             self.total_shadow_rays += float(counters.num_shadow_rays)
+            if getattr(counters, "num_box_tests", None) is not None:
+                self.total_box_tests += float(counters.num_box_tests)
+                self.total_tri_tests += float(counters.num_tri_tests)
             if counters.num_overflow is not None:
                 self.total_overflow += float(counters.num_overflow)
         return self
@@ -236,6 +243,10 @@ class Viewport:
             # truncation diagnostics from budgeted traversal backends
             # (ops/traverse.py) — nonzero means raise the candidate budget
             "total_traversal_overflow": self.total_overflow,
+            # opt-in intersection-test totals (RenderParams.count_traversal;
+            # the reference's `Counters.h:43-48` analogue) — 0 when disabled
+            "total_box_tests": self.total_box_tests,
+            "total_tri_tests": self.total_tri_tests,
         }
 
     def save_checkpoint(self, path: str):

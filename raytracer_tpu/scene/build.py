@@ -127,6 +127,9 @@ class SceneBuilder:
         self._tri_n = []  # (n,3,3) vertex normals
         self._tri_uv = []  # (n,3,2)
         self._tri_mat = []  # (n,)
+        # shared object-space meshes + instances (two-level structure)
+        self._mesh_geoms = []
+        self._mesh_instances = []
         self.textures = None  # set by loader when bitmap textures exist
 
     # --- materials -------------------------------------------------------------
@@ -175,6 +178,32 @@ class SceneBuilder:
         self._tri_n.append(tri_n)
         self._tri_uv.append(tri_uv)
         self._tri_mat.append(np.asarray(material_ids, np.int64))
+
+    def add_mesh_geometry(self, vertices, indices, normals, uvs, material_ids) -> int:
+        """Register a shared OBJECT-SPACE mesh; returns a mesh id for
+        :meth:`add_mesh_instance`.  Geometry is stored once no matter how
+        many instances reference it (the reference's shared `Mesh` owned by
+        several scene objects, `SceneObject_Shape.h:10-32`)."""
+        mid = len(self._mesh_geoms)
+        self._mesh_geoms.append((
+            np.asarray(vertices, np.float64), np.asarray(indices, np.int64),
+            np.asarray(normals, np.float64),
+            np.asarray(uvs, np.float64) if uvs is not None else None,
+            np.asarray(material_ids, np.int64),
+        ))
+        return mid
+
+    def add_mesh_instance(self, mesh_id: int, transform: RigidTransform, velocity=(0.0, 0.0, 0.0)) -> int:
+        """Place an instance of a registered mesh: rigid transform + linear
+        shutter velocity (mesh motion blur, `SceneObject.h:22-55`
+        `GetTransform(time)` with per-ray time)."""
+        if getattr(transform, "scale", 1.0) != 1.0:
+            raise ValueError(
+                "instances are rigid (rotation+translation); bake scaled "
+                "meshes with add_mesh or pre-scale the geometry"
+            )
+        self._mesh_instances.append((mesh_id, transform, tuple(velocity)))
+        return len(self._mesh_instances) - 1
 
     # --- lights ------------------------------------------------------------------
     def add_light(self, desc: LightDesc) -> int:
@@ -246,10 +275,12 @@ class SceneBuilder:
             e1 = _np.stack([_np.asarray(tris.e1.x), _np.asarray(tris.e1.y), _np.asarray(tris.e1.z)], -1)
             e2 = _np.stack([_np.asarray(tris.e2.x), _np.asarray(tris.e2.y), _np.asarray(tris.e2.z)], -1)
             clusters = build_clusters(v0, e1, e2)
+        mesh_geoms, instances = self._build_instances()
         scene = T.SceneData(prims=prims, tris=tris, bvh=bvh, materials=materials,
                             lights=lights, textures=self.textures, clusters=clusters,
                             env_dist=self._build_env_dist(),
-                            decals=self._build_decals())
+                            decals=self._build_decals(),
+                            mesh_geoms=mesh_geoms, instances=instances)
         meta = self._build_meta()
         return scene, meta
 
@@ -335,6 +366,35 @@ class SceneBuilder:
         )
         self.n_real_lights = 0 if dummy else len(self.lights)
         return lights
+
+    def _build_instances(self):
+        """Freeze shared meshes (object space) + the instance table."""
+        if not self._mesh_instances:
+            return (), None
+        import numpy as _np
+
+        from .bvh import build_bvh_over_triangles
+        from .clusters import build_clusters
+
+        geoms = []
+        for verts, idxs, norms, uvs, mats in self._mesh_geoms:
+            tri_v = verts[idxs].astype(_np.float32)
+            tri_n = norms[idxs].astype(_np.float32)
+            tri_uv = (uvs[idxs] if uvs is not None else _np.zeros((len(idxs), 3, 2))).astype(_np.float32)
+            tris, _bvh = build_bvh_over_triangles(tri_v, tri_n, tri_uv, mats.astype(_np.int32))
+            v0 = _np.stack([_np.asarray(tris.v0.x), _np.asarray(tris.v0.y), _np.asarray(tris.v0.z)], -1)
+            e1 = _np.stack([_np.asarray(tris.e1.x), _np.asarray(tris.e1.y), _np.asarray(tris.e1.z)], -1)
+            e2 = _np.stack([_np.asarray(tris.e2.x), _np.asarray(tris.e2.y), _np.asarray(tris.e2.z)], -1)
+            geoms.append(T.MeshGeom(tris=tris, clusters=build_clusters(v0, e1, e2)))
+
+        insts = self._mesh_instances
+        instances = T.Instances(
+            rot=_rot3([t for _, t, _ in insts]),
+            trans=_vec3_np([tuple(t.translation) for _, t, _ in insts], None),
+            vel=_vec3_np([v for _, _, v in insts], None),
+            mesh_ids=tuple(int(m) for m, _, _ in insts),
+        )
+        return tuple(geoms), instances
 
     def _build_tris(self):
         if not self._tri_v:

@@ -323,6 +323,43 @@ class Decals(NamedTuple):
         return self.roughness.shape[0]
 
 
+class MeshGeom(NamedTuple):
+    """One shared OBJECT-SPACE mesh: geometry stored once, referenced by any
+    number of instances (the reference's Mesh/MeshShape owned by several
+    `ShapeSceneObject`s, `Core/Scene/Object/SceneObject_Shape.h:10-32`)."""
+
+    tris: Triangles  # object-space triangle table
+    clusters: object  # ClusterSet built over the object-space triangles
+
+
+import dataclasses as _idc
+
+import jax as _ijax
+
+
+@_ijax.tree_util.register_dataclass
+@_idc.dataclass(frozen=True)
+class Instances:
+    """Instance table: per-instance rigid transform + linear velocity.
+
+    The TPU re-expression of the reference's two-level structure
+    (`Core/Scene/Scene.cpp:128-145`: transform the ray into object space at
+    each top-level leaf, `SceneObject.h:22-55` `GetTransform(time)`): rays
+    are transformed per instance and traced through the SHARED object-space
+    mesh; `mesh_ids` is static so each instance's geometry dispatch is
+    resolved at trace time.  `vel` is the shutter-interval translation —
+    per-ray time gives rigid-motion blur for meshes."""
+
+    rot: Rot3  # object->world rotation rows, (I,) components
+    trans: Vec3  # (I,)
+    vel: Vec3  # (I,) translation over the shutter interval
+    mesh_ids: tuple = _idc.field(default=(), metadata={"static": True})
+
+    @property
+    def count(self) -> int:
+        return len(self.mesh_ids)
+
+
 class SceneData(NamedTuple):
     """Complete device-side scene: the pytree passed into the render kernels."""
 
@@ -337,6 +374,10 @@ class SceneData(NamedTuple):
     # sin(theta) weights) — enables env importance sampling in NEE
     env_dist: object = None
     decals: Optional[Decals] = None
+    # shared object-space meshes + their instances (two-level structure);
+    # baked world-space `tris` and instanced meshes can coexist
+    mesh_geoms: tuple = ()
+    instances: Optional[Instances] = None
 
     @property
     def has_tris(self) -> bool:

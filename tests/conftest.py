@@ -18,3 +18,12 @@ os.environ["XLA_FLAGS"] = (
 import jax
 
 jax.config.update("jax_platforms", "cpu")
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "slow: golden renders, finite-difference gradients, multi-device "
+        "renders and other multi-minute tests; the smoke tier is "
+        "`pytest -m 'not slow'` (< 3 min)",
+    )

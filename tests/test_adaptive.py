@@ -59,6 +59,7 @@ class TestAdaptive:
         assert av.progress()["total_rays"] == rays_before
         assert av.passes == 12
 
+    @pytest.mark.slow
     def test_agrees_with_uniform_viewport(self):
         scene, meta, cam = _cornellish_setup()
         vp_params = ViewportParams(width=24, height=24, seed=0)

@@ -5,6 +5,7 @@ cpp:23-46`) and their application during shading (`Scene.cpp:446-462`).
 """
 
 import numpy as np
+import pytest
 
 from raytracer_tpu.integrators.path_tracer import RenderParams
 from raytracer_tpu.math.transform import RigidTransform
@@ -36,6 +37,7 @@ def _white_wall(b, albedo=(0.8, 0.8, 0.8)):
 
 
 class TestDecals:
+    @pytest.mark.slow
     def test_full_alpha_replaces_base_color(self):
         """alpha=1 decal covering the whole wall: reflected color equals the
         decal color, not the material's."""
@@ -112,6 +114,7 @@ class TestDecals:
         bl = blue_last.mean(axis=(0, 1))
         assert r[0] > r[2] and bl[2] > bl[0]
 
+    @pytest.mark.slow
     def test_textured_decal(self):
         """Decal with a bitmap texture: decal-space (x, y) maps to (u, v)."""
         from raytracer_tpu.ops.textures import build_atlas

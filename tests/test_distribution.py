@@ -134,6 +134,7 @@ def _render_env(env_importance: bool, seed: int):
 
 
 class TestEnvImportanceSampling:
+    @pytest.mark.slow
     def test_unbiased_vs_uniform_and_lower_variance(self):
         imp = _render_env(True, seed=0)
         uni = np.mean([_render_env(False, seed=s) for s in range(4)], axis=0)

@@ -14,6 +14,10 @@ from raytracer_tpu.scene import types as T
 from raytracer_tpu.scene.build import LightDesc, MaterialDesc, SceneBuilder
 from raytracer_tpu.scene.camera import make_camera
 
+import pytest
+
+pytestmark = pytest.mark.slow  # full-render / FD-gradient suite: smoke tier skips it
+
 
 def _scene():
     b = SceneBuilder()

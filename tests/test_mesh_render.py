@@ -2,6 +2,7 @@
 integrator, and mixed prim+mesh scenes."""
 
 import numpy as np
+import pytest
 import jax.numpy as jnp
 
 from raytracer_tpu.integrators.path_tracer import RenderParams
@@ -84,6 +85,7 @@ def test_mesh_shadowing_prims():
     assert img.min() < img.max() * 0.5  # shadow present
 
 
+@pytest.mark.slow
 def test_mesh_gradients_flow():
     """grad of image sum w.r.t. material base_color through the BVH path
     (traversal detached, shading differentiable)."""

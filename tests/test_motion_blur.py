@@ -7,6 +7,7 @@ transform lerp `Camera::SampleTransform` (`Camera.cpp:61-79`).
 """
 
 import numpy as np
+import pytest
 
 from raytracer_tpu.integrators.path_tracer import RenderParams
 from raytracer_tpu.math.transform import RigidTransform
@@ -32,6 +33,7 @@ def _coverage(img):
     return int((np.abs(img - 1.0) > 0.01).any(-1).sum())
 
 
+@pytest.mark.slow
 def test_object_motion_blur_smears():
     scene, meta = _moving_sphere_scene((2.0, 0.0, 0.0))
     cam = make_camera(RigidTransform())

@@ -7,6 +7,7 @@ by strength -> rotate into the tangent frame -> re-orthonormalize.
 """
 
 import numpy as np
+import pytest
 import jax.numpy as jnp
 
 from raytracer_tpu.integrators.path_tracer import RenderParams
@@ -111,6 +112,7 @@ class TestApplyNormalMap:
 
 
 class TestNormalMapRender:
+    @pytest.mark.slow
     def test_tilted_map_changes_lighting(self):
         """Under grazing directional light, tilting normals changes the wall
         brightness vs the flat map — the map must be live in shading."""

@@ -28,6 +28,10 @@ from raytracer_tpu.render.renderer import ViewportParams, trace_rows
 from raytracer_tpu.scene.camera import make_camera
 from raytracer_tpu.scene.presets import cornell_box, cornell_camera_kw
 
+import pytest
+
+pytestmark = pytest.mark.slow  # full-render / FD-gradient suite: smoke tier skips it
+
 W, H = 16, 32
 VP = ViewportParams(width=W, height=H, seed=0)
 PARAMS = RenderParams(max_depth=3, mis=True)

@@ -36,6 +36,10 @@ from raytracer_tpu.io.exr import read_exr
 from raytracer_tpu.io.scene_loader import load_scene
 from raytracer_tpu.render.renderer import Viewport, ViewportParams
 
+import pytest
+
+pytestmark = pytest.mark.slow  # full-render / FD-gradient suite: smoke tier skips it
+
 REF_SCENES = "/root/reference/Data/TestScenes"
 GOLDENS = os.path.join(os.path.dirname(__file__), "goldens")
 

@@ -48,6 +48,7 @@ def assert_image_near(img, expected_rgb, tol):
 
 @pytest.mark.parametrize("params", INTEGRATORS)
 class TestAnalyticScenes:
+    @pytest.mark.slow
     def test_empty_scene_is_black(self, params):
         """`RaytracingTests.cpp:263-285` — no geometry, no lights -> exact 0."""
         img = render(lambda b: b.default_material_id(), params, passes=2)
@@ -155,6 +156,7 @@ class TestLights:
         center = img[16, 16]
         np.testing.assert_allclose(center, expected, rtol=0.1)
 
+    @pytest.mark.slow
     def test_area_light_visible(self):
         """Area light is hit-testable geometry: camera sees its radiance
         (`SceneObject_Light.cpp:27-53`)."""
@@ -174,6 +176,7 @@ class TestLights:
         img = render(build, RenderParams(max_depth=3, mis=True), passes=4)
         assert_image_near(img, radiance, 0.02)
 
+    @pytest.mark.slow
     def test_mis_vs_naive_agree(self):
         """PT and PT+MIS must converge to the same image
         (`RaytracingTests.cpp:17-22` cross-integrator agreement)."""

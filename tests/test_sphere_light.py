@@ -6,6 +6,7 @@ strongest check is naive-vs-MIS convergence to the same image
 """
 
 import numpy as np
+import pytest
 
 from raytracer_tpu.integrators.path_tracer import RenderParams
 from raytracer_tpu.math.transform import RigidTransform
@@ -42,6 +43,7 @@ def _render(params, passes, seed=0):
 
 
 class TestSphereLightConeSampling:
+    @pytest.mark.slow
     def test_mis_vs_naive_agree(self):
         """Cone-sampling pdf and BSDF-hit pdf must be mutually consistent:
         naive (BSDF-only) and MIS estimators converge to the same image."""
