@@ -1,0 +1,106 @@
+"""Modernize bitrotted reference TestScenes to the CURRENT loader schema.
+
+Several shipped scenes (`sphere_light_test.json`, `texture_test.json`,
+`dispersion_test.json`, `glossy_refraction_test.json`, `small_light_test.json`,
+...) use an older light schema — `{"type": "sphere", position, radius}` and
+`{"type": "area", position, edge0, edge1}` — that the reference's OWN
+SceneLoader rejects today ("Area light is missing 'shape' field",
+`Demo/SceneLoader.cpp:527`).  This converts them to the current schema
+(area light + shape + transform) WITHOUT changing geometry: the modernized
+JSON is consumed by BOTH renderers, so golden parity is by construction.
+
+Conversions:
+- sphere light  -> area light, sphere shape, translation transform
+- edge-rect area light -> area light, rect shape size (|e0|, |e1|),
+  orientation from the (e0, e1, e0 x e1) frame (YXZ euler extraction checked
+  against `math/transform.quat_from_euler_deg` round-trip)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
+from raytracer_tpu.math.transform import quat_from_euler_deg, quat_to_matrix3
+
+OUT_DIR = "/tmp/refdata/TestScenes_modern"
+
+
+def euler_from_rows(m: np.ndarray) -> tuple[float, float, float]:
+    """Invert quat_to_matrix3(quat_from_euler_deg([p, y, r])) (rows = images
+    of the local axes)."""
+    pitch = np.rad2deg(np.arcsin(np.clip(-m[2][1], -1.0, 1.0)))
+    yaw = np.rad2deg(np.arctan2(m[2][0], m[2][2]))
+    roll = np.rad2deg(np.arctan2(m[0][1], m[1][1]))
+    # verify round-trip
+    m2 = quat_to_matrix3(quat_from_euler_deg([pitch, yaw, roll]))
+    assert np.allclose(m2, m, atol=1e-5), (m, m2)
+    return float(pitch), float(yaw), float(roll)
+
+
+def modernize_light(l: dict) -> dict:
+    if l.get("type") == "sphere":
+        return {
+            "type": "area",
+            "color": l["color"],
+            "shape": {"type": "sphere", "radius": float(l.get("radius", 1.0))},
+            "transform": {"translation": l["position"]},
+        }
+    if l.get("type") == "area" and "edge0" in l:
+        p = np.asarray(l["position"], np.float64)
+        e0 = np.asarray(l["edge0"], np.float64)
+        e1 = np.asarray(l["edge1"], np.float64)
+        n0, n1 = np.linalg.norm(e0), np.linalg.norm(e1)
+        x = e0 / n0
+        y = e1 / n1
+        assert abs(float(x @ y)) < 1e-6, "edge rect is not orthogonal"
+        rows = np.stack([x, y, np.cross(x, y)])
+        pitch, yaw, roll = euler_from_rows(rows)
+        return {
+            "type": "area",
+            "color": l["color"],
+            "shape": {"type": "rect", "size": [float(n0), float(n1)]},
+            "transform": {
+                "translation": [float(v) for v in (p + (e0 + e1) * 0.5)],
+                "orientation": [pitch, yaw, roll],
+            },
+        }
+    return l
+
+
+def _rad_to_deg_orientations(node):
+    """Old-schema scenes store transform orientations in RADIANS; the current
+    loaders read degrees — convert in place (cameras, objects, lights)."""
+    if isinstance(node, dict):
+        for k, v in node.items():
+            if k == "orientation" and isinstance(v, list):
+                node[k] = [float(np.rad2deg(x)) for x in v]
+            else:
+                _rad_to_deg_orientations(v)
+    elif isinstance(node, list):
+        for v in node:
+            _rad_to_deg_orientations(v)
+
+
+def modernize(name: str) -> str:
+    src = f"/root/reference/Data/TestScenes/{name}.json"
+    doc = json.load(open(src))
+    _rad_to_deg_orientations(doc)  # BEFORE adding degree-valued lights
+    doc["lights"] = [modernize_light(l) for l in doc.get("lights", [])]
+    os.makedirs(OUT_DIR, exist_ok=True)
+    out = os.path.join(OUT_DIR, f"{name}.json")
+    json.dump(doc, open(out, "w"), indent=1)
+    return out
+
+
+if __name__ == "__main__":
+    for name in sys.argv[1:] or [
+        "sphere_light_test", "texture_test", "dispersion_test",
+        "glossy_refraction_test", "small_light_test",
+    ]:
+        print(modernize(name))
