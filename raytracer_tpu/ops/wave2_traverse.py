@@ -442,13 +442,21 @@ def _round(cs_set: ClusterSet, ox, oy, oz, dx, dy, dz, tl, cursor, kc: int, bps:
     slot_valid = cand < cs
     hit = slot_valid & (done_p > 0) & (tri_p >= 0)
     tkey = jnp.where(hit, t_p, jnp.float32(jnp.inf))
-    j_best = jnp.argmin(tkey, axis=1)
-    rows = jnp.arange(n)
-    best_t = tkey[rows, j_best]
-    best_tri = jnp.where(jnp.isfinite(best_t), tri_p[rows, j_best], -1)
-    best_u = jnp.where(jnp.isfinite(best_t), u_p[rows, j_best], 0.0)
-    best_v = jnp.where(jnp.isfinite(best_t), v_p[rows, j_best], 0.0)
-    t_round = jnp.where(jnp.isfinite(best_t), best_t, tl)
+    # dense winner select (NO fancy-index gathers: advanced indexing on
+    # (N, kc) lowers to slow element gathers on this chip): min t, break
+    # ties by lowest tri id, then masked reductions pull u/v/tri
+    best_t = jnp.min(tkey, axis=1)
+    won = tkey == best_t[:, None]
+    imax = jnp.int32(2**31 - 1)
+    best_tri = jnp.min(jnp.where(won, tri_p, imax), axis=1)
+    final = won & (tri_p == best_tri[:, None])
+    best_u = jnp.max(jnp.where(final, u_p, -jnp.inf), axis=1)
+    best_v = jnp.max(jnp.where(final, v_p, -jnp.inf), axis=1)
+    got_hit = jnp.isfinite(best_t)
+    best_tri = jnp.where(got_hit, best_tri, -1)
+    best_u = jnp.where(got_hit, best_u, 0.0)
+    best_v = jnp.where(got_hit, best_v, 0.0)
+    t_round = jnp.where(got_hit, best_t, tl)
 
     unproc = slot_valid & (done_p == 0)
     any_unproc = jnp.any(unproc, axis=1)
