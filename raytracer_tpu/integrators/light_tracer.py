@@ -72,7 +72,7 @@ def trace_light_wavefront(
     l = gather_light(scene.lights, light_idx)
     u1, u2, stream = next_2d(stream)
     u3, u4, u5, stream = next_3d(stream)
-    em = emit(l, u1, u2, u3, u4, u5)
+    em = emit(l, u1, u2, u3, u4, u5, scene_radius=meta.scene_radius)
 
     emission_pdf = em.emission_pdf_w * pick_prob
     throughput = em.radiance * (1.0 / emission_pdf)

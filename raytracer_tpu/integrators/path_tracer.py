@@ -200,7 +200,8 @@ def _sample_lights_nee(
         l = gather_light(scene.lights, light_idx)
         u1, u2, u3, stream = next_3d(stream)
         ill = illuminate(l, frame.position, frame.normal, u1, u2, u3,
-                         env=scene.env_dist, sphere_cone=True)
+                         env=scene.env_dist, sphere_cone=True,
+                         scene_radius=meta.scene_radius)
 
         radiance = ill.radiance
         if meta.background_light_index >= 0 and scene.textures is not None:

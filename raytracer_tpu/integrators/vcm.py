@@ -125,7 +125,7 @@ def _trace_light_phase(scene, meta, cam, stream, vcm: VcmParams, n_paths,
     l = gather_light(scene.lights, light_idx)
     u1, u2, stream = next_2d(stream)
     u3, u4, u5, stream = next_3d(stream)
-    em = emit(l, u1, u2, u3, u4, u5)
+    em = emit(l, u1, u2, u3, u4, u5, scene_radius=meta.scene_radius)
 
     direct_pdf_a = em.direct_pdf_a * pick_prob
     emission_pdf = em.emission_pdf_w * pick_prob
@@ -429,11 +429,10 @@ def render_pass_vcm(
                 direct_pdf_a = env_direction_pdf(scene.env_dist, state.direction)
             else:
                 direct_pdf_a = 1.0 / (2.0 * jnp.pi)
-            from ..ops.lights import SCENE_RADIUS
             from ..math import sampling as _sampling
 
             emission_pdf_w = _sampling.uniform_sphere_pdf() * _sampling.uniform_circle_pdf(
-                SCENE_RADIUS
+                meta.scene_radius
             )  # emit()'s actual pdf (`BackgroundLight` Emit)
             w_camera = _mis(direct_pdf_a * light_pick) * state.d_vcm + _mis(
                 emission_pdf_w * light_pick
@@ -489,7 +488,7 @@ def render_pass_vcm(
                 l = gather_light(scene.lights, jnp.full((n,), li, jnp.int32))
                 u1, u2, u3, stream = next_3d(stream)
                 ill = illuminate(l, frame.position, frame.normal, u1, u2, u3,
-                                 env=scene.env_dist)
+                                 env=scene.env_dist, scene_radius=meta.scene_radius)
                 wi_local = world_to_local(
                     ill.dir_to_light, frame.tangent, frame.bitangent, frame.normal
                 )

@@ -187,7 +187,8 @@ def sphere_cone_cos_max(center: Vec3, radius, point: Vec3):
 
 
 def illuminate(l: LightSlice, shading_pos: Vec3, shading_frame_normal: Vec3, u1, u2, u3,
-               env=None, sphere_cone: bool = False) -> Illumination:
+               env=None, sphere_cone: bool = False,
+               scene_radius: float = SCENE_RADIUS) -> Illumination:
     """NEE sample toward one light (ILight::Illuminate for every kind).
 
     ``env``: optional Distribution2D over the background light's lat-long env
@@ -325,7 +326,7 @@ def illuminate(l: LightSlice, shading_pos: Vec3, shading_frame_normal: Vec3, u1,
     radiance = l.color  # env texture modulation handled by caller for bg lights
     # emission pdf along this connection (VCM MIS; mirrors each
     # ILight::Illuminate's outEmissionPdfW)
-    circle_pdf = sampling.uniform_circle_pdf(SCENE_RADIUS)
+    circle_pdf = sampling.uniform_circle_pdf(scene_radius)
     emission_pdf_w = jnp.select(
         [is_area, is_bg, is_dl, is_spot],
         [
@@ -382,7 +383,8 @@ class Emission(NamedTuple):
     radiance: Vec3  # color term (NOT yet divided by emission pdf)
 
 
-def emit(l: LightSlice, u1, u2, u3, u4, u5) -> Emission:
+def emit(l: LightSlice, u1, u2, u3, u4, u5,
+         scene_radius: float = SCENE_RADIUS) -> Emission:
     """Photon emission sampling for every light kind (ILight::Emit):
     `PointLight.cpp`, `SpotLight.cpp:63-96`, `AreaLight.cpp` (cos-hemisphere
     from a uniform surface point), `DirectionalLight.cpp`,
@@ -414,17 +416,17 @@ def emit(l: LightSlice, u1, u2, u3, u4, u5) -> Emission:
     dl_dir_local = sampling.sample_cone(l.cos_angle, u1, u2)
     dir_dl = -(l.rot.to_world(dl_dir_local))
     du, dv = sampling.build_onb(dir_dl)
-    pos_dl = (du * cx + dv * cy - dir_dl) * SCENE_RADIUS
+    pos_dl = (du * cx + dv * cy - dir_dl) * scene_radius
     pdf_dl_dir = jnp.where(
         l.cos_angle > 0.9999, 1.0, sampling.sphere_cap_pdf(jnp.minimum(l.cos_angle, 1.0 - 1e-6))
     )
-    pdf_dl = pdf_dl_dir * sampling.uniform_circle_pdf(SCENE_RADIUS)
+    pdf_dl = pdf_dl_dir * sampling.uniform_circle_pdf(scene_radius)
 
     # --- background: inward from the bounding sphere
     dir_bg = sampling.sample_sphere(u1, u2)
     bu, bv = sampling.build_onb(dir_bg)
-    pos_bg = (bu * cx + bv * cy - dir_bg) * SCENE_RADIUS
-    pdf_bg = sampling.uniform_sphere_pdf() * sampling.uniform_circle_pdf(SCENE_RADIUS)
+    pos_bg = (bu * cx + bv * cy - dir_bg) * scene_radius
+    pdf_bg = sampling.uniform_sphere_pdf() * sampling.uniform_circle_pdf(scene_radius)
 
     is_area = l.kind == LIGHT_AREA
     is_bg = l.kind == LIGHT_BACKGROUND

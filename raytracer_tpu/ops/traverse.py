@@ -64,11 +64,32 @@ def _resolved_mode(scene: SceneData) -> str:
             "traversal mode 'bvh' requested but the scene has no skip-link BVH "
             "(scene was built without one); use 'wave' or rebuild with a BVH"
         )
-    if _MODE != "auto":
-        return _MODE
     import jax
 
+    on_tpu = jax.default_backend() in ("tpu", "axon")
+    if _MODE != "auto":
+        if _MODE == "wave" and on_tpu:
+            # wave-v1 has a known data-dependent kernel fault on TPU at
+            # production wavefronts (262k rays x depth>=4 kills the worker,
+            # docs/perf_notes.md "Known issues"); a user-selectable mode must
+            # fail loudly, not crash the device
+            raise ValueError(
+                "traversal mode 'wave' is CPU-only: the pure-XLA engine "
+                "faults the TPU worker at production wavefront sizes "
+                "(docs/perf_notes.md). Use 'wave2' (the TPU default) or run "
+                "on CPU."
+            )
+        return _MODE
+
     # wave2 (Pallas sort-join) on TPU; the pure-XLA engine elsewhere
+    return "wave2" if on_tpu else "wave"
+
+
+def _resolved_fallback() -> str:
+    """Engine to substitute when the selected mode lacks a needed structure
+    (e.g. 'bvh' chosen but instanced meshes keep no per-mesh skip-link BVH)."""
+    import jax
+
     return "wave2" if jax.default_backend() in ("tpu", "axon") else "wave"
 
 
@@ -186,7 +207,7 @@ def scene_traverse(scene: SceneData, origin: Vec3, direction: Vec3, t_max=None, 
         # two-level traversal: ray -> instance space, shared mesh geometry
         # traced once per instance (`Scene.cpp:128-145` semantics; geometry
         # is stored ONCE per mesh regardless of instance count)
-        inst_mode = mode if mode != "bvh" else "wave"  # per-mesh BVH not kept
+        inst_mode = mode if mode != "bvh" else _resolved_fallback()  # per-mesh BVH not kept
         for i, mid in enumerate(scene.instances.mesh_ids):
             geom = scene.mesh_geoms[mid]
             o_l, d_l = _instance_local_ray(scene, i, origin, direction, time)
@@ -314,7 +335,7 @@ def scene_occluded(scene: SceneData, origin: Vec3, direction: Vec3, t_max, time=
 
         occ = occ | bvh_any_hit(scene.bvh, scene.tris, origin, direction, t_max)
     if scene.instances is not None:
-        inst_mode = mode if mode != "bvh" else "wave"
+        inst_mode = mode if mode != "bvh" else _resolved_fallback()
         for i, mid in enumerate(scene.instances.mesh_ids):
             geom = scene.mesh_geoms[mid]
             o_l, d_l = _instance_local_ray(scene, i, origin, direction, time)

@@ -281,8 +281,64 @@ class SceneBuilder:
                             env_dist=self._build_env_dist(),
                             decals=self._build_decals(),
                             mesh_geoms=mesh_geoms, instances=instances)
-        meta = self._build_meta()
+        meta = self._build_meta(scene)
         return scene, meta
+
+    @staticmethod
+    def _scene_radius(scene: "T.SceneData") -> float:
+        """World bounding-sphere radius about the origin, from the built
+        geometry.  Replaces the reference's hardcoded 30
+        (`BackgroundLight.cpp:16`, its own TODO): background/directional
+        photon emission samples a disk of this radius, so a large scene with
+        a smaller hardcoded radius would silently miss geometry in
+        light-tracing/VCM.  Conservative (rotation-free norm bounds)."""
+        import numpy as _np
+
+        r = 0.0
+
+        def acc(dist):
+            nonlocal r
+            if dist.size:
+                m = float(_np.max(dist))
+                if _np.isfinite(m):
+                    r = max(r, m)
+
+        p = scene.prims
+        kind = _np.asarray(p.kind)
+        # skip the radius-0 placeholder sphere of empty scenes
+        px, py, pz = (_np.asarray(v) for v in (p.param.x, p.param.y, p.param.z))
+        extent = _np.sqrt(px * px + py * py + pz * pz)
+        center = _np.sqrt(
+            _np.asarray(p.trans.x) ** 2 + _np.asarray(p.trans.y) ** 2
+            + _np.asarray(p.trans.z) ** 2
+        )
+        real = extent > 0.0
+        acc((center + extent)[real])
+        if scene.tris is not None:
+            v0 = _np.stack([_np.asarray(scene.tris.v0.x), _np.asarray(scene.tris.v0.y), _np.asarray(scene.tris.v0.z)], -1)
+            e1 = _np.stack([_np.asarray(scene.tris.e1.x), _np.asarray(scene.tris.e1.y), _np.asarray(scene.tris.e1.z)], -1)
+            e2 = _np.stack([_np.asarray(scene.tris.e2.x), _np.asarray(scene.tris.e2.y), _np.asarray(scene.tris.e2.z)], -1)
+            for v in (v0, v0 + e1, v0 + e2):
+                acc(_np.linalg.norm(v, axis=1))
+        if scene.instances is not None:
+            it = scene.instances
+            ic = _np.sqrt(
+                _np.asarray(it.trans.x) ** 2 + _np.asarray(it.trans.y) ** 2
+                + _np.asarray(it.trans.z) ** 2
+            )
+            for i, mid in enumerate(it.mesh_ids):
+                g = scene.mesh_geoms[mid].tris
+                v0 = _np.stack([_np.asarray(g.v0.x), _np.asarray(g.v0.y), _np.asarray(g.v0.z)], -1)
+                e1 = _np.stack([_np.asarray(g.e1.x), _np.asarray(g.e1.y), _np.asarray(g.e1.z)], -1)
+                e2 = _np.stack([_np.asarray(g.e2.x), _np.asarray(g.e2.y), _np.asarray(g.e2.z)], -1)
+                obj_r = max(
+                    float(_np.max(_np.linalg.norm(v, axis=1)))
+                    for v in (v0, v0 + e1, v0 + e2)
+                )
+                acc(_np.asarray([ic[i] + obj_r]))
+        if r <= 0.0:
+            return 30.0  # empty scene: keep the reference default
+        return float(max(1.05 * r, 1e-3))
 
     def add_decal(self, desc: DecalDesc) -> int:
         idx = len(self.decals)
@@ -330,7 +386,7 @@ class SceneBuilder:
 
         return make_distribution_2d(lum * np.sin(theta)[:, None])
 
-    def _build_meta(self) -> T.SceneMeta:
+    def _build_meta(self, scene: "T.SceneData" = None) -> T.SceneMeta:
         ls = self.lights if self.lights else []
         kinds = tuple(l.kind for l in ls) if ls else (T.LIGHT_POINT,)
         deltas = tuple(l.flags()[0] for l in ls) if ls else (True,)
@@ -340,6 +396,7 @@ class SceneBuilder:
             light_is_delta=deltas,
             n_lights=len(ls),
             background_light_index=bg,
+            scene_radius=self._scene_radius(scene) if scene is not None else 30.0,
         )
 
     def _build_lights(self) -> T.Lights:

@@ -397,3 +397,7 @@ class SceneMeta:
     light_is_delta: tuple = ()
     n_lights: int = 0  # real lights (0 if only the dummy placeholder exists)
     background_light_index: int = -1
+    # world bounding-sphere radius derived from the scene bounds at build
+    # time (the reference hardcodes 30, `BackgroundLight.cpp:16` — its own
+    # TODO); drives background/directional light emission sampling + pdfs
+    scene_radius: float = 30.0
