@@ -156,7 +156,9 @@ def cluster_closest_hit(
 
 
 def cluster_any_hit(cs: ClusterSet, origin: Vec3, direction: Vec3, t_max, kmax: int = 32):
-    """Any-hit occlusion query."""
+    """Any-hit occlusion query. Returns (occluded, overflow): ``overflow``
+    marks unoccluded rays that still had >= kmax candidate clusters — an
+    occluder could hide beyond the truncation ("no silent caps")."""
     k = cs.tris_per_cluster
     kmax = min(kmax, cs.num_clusters)
     ids, tmins = _phase1_candidates(cs, origin, direction, t_max, kmax)
@@ -170,4 +172,5 @@ def cluster_any_hit(cs: ClusterSet, origin: Vec3, direction: Vec3, t_max, kmax: 
         t, slot, _, _ = _mt_block(block, origin, direction, k)
         tid = tid_row[jnp.arange(t.shape[0]), slot]
         occluded = occluded | (live & (tid >= 0) & (t < limit))
-    return occluded
+    overflow = jnp.isfinite(tmins[:, kmax - 1]) & (~occluded)
+    return occluded, overflow

@@ -142,7 +142,7 @@ def _cs_occluded(mode, clusters, bvh, tris, origin: Vec3, direction: Vec3, t_max
         return bvh_any_hit(bvh, tris, origin, direction, t_max), jnp.zeros(n, bool)
     from .cluster_traverse import cluster_any_hit
 
-    return cluster_any_hit(*args), jnp.zeros(n, bool)
+    return cluster_any_hit(*args)
 
 
 def _instance_local_ray(scene: SceneData, i: int, origin: Vec3, direction: Vec3, time):

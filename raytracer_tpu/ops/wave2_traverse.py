@@ -192,16 +192,26 @@ def _mt_kernel(
     # scalar prefetch
     c_tab,  # (B,) int32 super id per 1024-pair chunk (Cs = sentinel/skip)
     # pipelined tensor operands (BlockSpec-selected per chunk)
-    geom_ref,  # (1, T, 128) the chunk's packed super geometry
+    geom_ref,  # (1, 8K, 16) component-major geometry: tris on SUBLANES,
+    # lanes [v0.xyz, e1.xyz, e2.xyz, tri_id, pad]; rows [s*K,(s+1)*K) = sub s
+    sbox_ref,  # (1, 8, 8) sub boxes, lanes [min.xyz, max.xyz, 0, 0]
     ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tl_ref,  # (1, 8, 128)
     # outputs (1, 8, 128) — each chunk owns exactly one grid step (runs are
     # filler-padded to chunk multiples), so no revisiting and no read-back
     t_out, tri_out, u_out, v_out, done_out,
+    # scratch: per-ray-row running best in tri-sublane space
+    bt_ref, btid_ref, bu_ref, bv_ref,  # VMEM (8, 128) f32
     *,
     k: int,
     cs: int,
     any_hit: bool,
 ):
+    """Fully vectorized Möller-Trumbore: every op is an (8, 128) VPU tile of
+    (8 triangles × 128 rays).  Triangle components are (8, 1) sublane columns
+    of the component-major geometry block; ray components are (1, 128) lane
+    rows of the pair payload — both broadcast for free, so the inner loop has
+    ZERO scalar VMEM reads (the round-3 kernel read geometry scalar-by-scalar
+    at ~70 ns each and was wholly read-bound, docs/perf_notes.md)."""
     b = pl.program_id(0)
     live = c_tab[b] < cs
 
@@ -223,23 +233,30 @@ def _mt_kernel(
 
     tiny = 1e-12
     inv = lambda d: 1.0 / jnp.where(jnp.abs(d) > tiny, d, jnp.where(d >= 0, tiny, -tiny))
-    ix, iy, iz = inv(dx), inv(dy), inv(dz)
-    g_base = SUB_PER_SUPER * k * 9
-    b_base = SUB_PER_SUPER * k * 10
-    flat = lambda e: geom_ref[0, e // 128, e % 128]
+    ix8, iy8, iz8 = inv(dx), inv(dy), inv(dz)
+    groups = k // 8  # 8-triangle sublane groups per sub-cluster
 
     @pl.when(live)
     def _():
-        for s in range(SUB_PER_SUPER):
-            bb = b_base + s * 6
-            b0, b1, b2 = flat(bb), flat(bb + 1), flat(bb + 2)
-            b3, b4, b5 = flat(bb + 3), flat(bb + 4), flat(bb + 5)
-            t1x = (b0 - ox) * ix
-            t2x = (b3 - ox) * ix
-            t1y = (b1 - oy) * iy
-            t2y = (b4 - oy) * iy
-            t1z = (b2 - oz) * iz
-            t2z = (b5 - oz) * iz
+        geom = geom_ref[0]  # (8K, 16)
+        sbox = sbox_ref[0]  # (8, 8)
+        sb = lambda c: sbox[:, c : c + 1]  # (8, 1) sub-box component column
+
+        for r in range(SUB_PER_SUPER):  # ray rows (128 pairs each)
+            ro = slice(r, r + 1)
+            rox, roy, roz = ox[ro], oy[ro], oz[ro]
+            rdx, rdy, rdz = dx[ro], dy[ro], dz[ro]
+            rix, riy, riz = ix8[ro], iy8[ro], iz8[ro]
+            rtl = tl[ro]
+            rmask = mask[ro]
+
+            # (8 subs × 128 rays) slab gate — subs on sublanes
+            t1x = (sb(0) - rox) * rix
+            t2x = (sb(3) - rox) * rix
+            t1y = (sb(1) - roy) * riy
+            t2y = (sb(4) - roy) * riy
+            t1z = (sb(2) - roz) * riz
+            t2z = (sb(5) - roz) * riz
             bmin = jnp.maximum(
                 jnp.maximum(jnp.minimum(t1x, t2x), jnp.minimum(t1y, t2y)),
                 jnp.minimum(t1z, t2z),
@@ -248,57 +265,81 @@ def _mt_kernel(
                 jnp.minimum(jnp.maximum(t1x, t2x), jnp.maximum(t1y, t2y)),
                 jnp.maximum(t1z, t2z),
             )
-            sub_hit = mask & (bmax >= jnp.maximum(bmin, 0.0)) & (bmin < t_out[0])
+            sub_hit = (bmax >= jnp.maximum(bmin, 0.0)) & (bmin < rtl) & rmask
 
-            @pl.when(jnp.any(sub_hit))
-            def _(s=s, sub_hit=sub_hit):
-                # re-read the freshest best: an earlier sub of this chunk may
-                # have written a closer hit already
-                bt = t_out[0]
-                btri = tri_out[0]
-                bu = u_out[0]
-                bv = v_out[0]
-                for q in range(k):
-                    e = s * k * 9 + q * 9
-                    tid = flat(g_base + s * k + q).astype(jnp.int32)
-                    v0x, v0y, v0z = flat(e), flat(e + 1), flat(e + 2)
-                    e1x, e1y, e1z = flat(e + 3), flat(e + 4), flat(e + 5)
-                    e2x, e2y, e2z = flat(e + 6), flat(e + 7), flat(e + 8)
-                    px = dy * e2z - dz * e2y
-                    py = dz * e2x - dx * e2z
-                    pz = dx * e2y - dy * e2x
-                    det = e1x * px + e1y * py + e1z * pz
-                    okd = jnp.abs(det) > TRI_EPS
-                    inv_det = 1.0 / jnp.where(okd, det, 1.0)
-                    tx, ty, tz = ox - v0x, oy - v0y, oz - v0z
-                    uu = (tx * px + ty * py + tz * pz) * inv_det
-                    qx = ty * e1z - tz * e1y
-                    qy = tz * e1x - tx * e1z
-                    qz = tx * e1y - ty * e1x
-                    vv = (dx * qx + dy * qy + dz * qz) * inv_det
-                    tt = (e2x * qx + e2y * qy + e2z * qz) * inv_det
-                    hit = (
-                        sub_hit
-                        & okd
-                        & (uu >= 0.0)
-                        & (vv >= 0.0)
-                        & (uu + vv <= 1.0)
-                        & (tt > HIT_EPS)
-                        & (tid >= 0)
-                        & (tt < bt)
-                    )
-                    if any_hit:
-                        bt = jnp.where(hit, 0.0, bt)
-                        btri = jnp.where(hit, tid, btri)
-                    else:
-                        bt = jnp.where(hit, tt, bt)
-                        btri = jnp.where(hit, tid, btri)
-                        bu = jnp.where(hit, uu, bu)
-                        bv = jnp.where(hit, vv, bv)
-                t_out[0] = bt
-                tri_out[0] = btri
-                u_out[0] = bu
-                v_out[0] = bv
+            # running best per (tri-sublane-slot × ray): scratch refs so the
+            # gated sub bodies can update state across `pl.when` boundaries
+            bt_ref[:] = jnp.broadcast_to(rtl, (8, 128))
+            btid_ref[:] = jnp.full((8, 128), -1.0, jnp.float32)
+            bu_ref[:] = jnp.zeros((8, 128), jnp.float32)
+            bv_ref[:] = jnp.zeros((8, 128), jnp.float32)
+
+            for s in range(SUB_PER_SUPER):
+
+                @pl.when(jnp.any(sub_hit[s : s + 1]))
+                def _(s=s):
+                    bt = bt_ref[:]
+                    btid = btid_ref[:]
+                    bu = bu_ref[:]
+                    bv = bv_ref[:]
+                    for g in range(groups):
+                        rows = slice((s * k + g * 8), (s * k + g * 8 + 8))
+                        col = lambda c: geom[rows, c : c + 1]  # (8, 1)
+                        v0x, v0y, v0z = col(0), col(1), col(2)
+                        e1x, e1y, e1z = col(3), col(4), col(5)
+                        e2x, e2y, e2z = col(6), col(7), col(8)
+                        tid = col(9)
+                        px = rdy * e2z - rdz * e2y
+                        py = rdz * e2x - rdx * e2z
+                        pz = rdx * e2y - rdy * e2x
+                        det = e1x * px + e1y * py + e1z * pz
+                        okd = jnp.abs(det) > TRI_EPS
+                        inv_det = 1.0 / jnp.where(okd, det, 1.0)
+                        tx, ty, tz = rox - v0x, roy - v0y, roz - v0z
+                        uu = (tx * px + ty * py + tz * pz) * inv_det
+                        qx = ty * e1z - tz * e1y
+                        qy = tz * e1x - tx * e1z
+                        qz = tx * e1y - ty * e1x
+                        vv = (rdx * qx + rdy * qy + rdz * qz) * inv_det
+                        tt = (e2x * qx + e2y * qy + e2z * qz) * inv_det
+                        hit = (
+                            okd
+                            & (uu >= 0.0)
+                            & (vv >= 0.0)
+                            & (uu + vv <= 1.0)
+                            & (tt > HIT_EPS)
+                            & (tid >= 0.0)
+                            & (tt < bt)
+                        )
+                        if any_hit:
+                            bt = jnp.where(hit, 0.0, bt)
+                            btid = jnp.where(hit, tid, btid)
+                        else:
+                            bt = jnp.where(hit, tt, bt)
+                            btid = jnp.where(hit, tid, btid)
+                            bu = jnp.where(hit, uu, bu)
+                            bv = jnp.where(hit, vv, bv)
+                    bt_ref[:] = bt
+                    btid_ref[:] = btid
+                    bu_ref[:] = bu
+                    bv_ref[:] = bv
+
+            # fold the 8 sublane slots into this row's final hit: min t,
+            # ties by lowest tri id (matches the host-side winner select)
+            bt = bt_ref[:]
+            btid = btid_ref[:]
+            got = btid >= 0.0
+            t_row = jnp.min(jnp.where(got, bt, BIGF), axis=0, keepdims=True)
+            w = got & (bt == t_row)
+            tid_row = jnp.min(jnp.where(w, btid, BIGF), axis=0, keepdims=True)
+            w = w & (btid == tid_row)
+            u_row = jnp.max(jnp.where(w, bu_ref[:], -BIGF), axis=0, keepdims=True)
+            v_row = jnp.max(jnp.where(w, bv_ref[:], -BIGF), axis=0, keepdims=True)
+            any_row = tid_row < BIGF
+            t_out[0, ro] = jnp.where(any_row, jnp.minimum(t_row, rtl), rtl)
+            tri_out[0, ro] = jnp.where(any_row, tid_row, -1.0).astype(jnp.int32)
+            u_out[0, ro] = jnp.where(any_row, u_row, 0.0)
+            v_out[0, ro] = jnp.where(any_row, v_row, 0.0)
 
 
 def _searchsorted(sorted_arr, queries):
@@ -391,10 +432,15 @@ def _round(cs_set: ClusterSet, ox, oy, oz, dx, dy, dz, tl, cursor, kc: int, bps:
     block_cluster = jnp.clip(block_cluster, 0, cs)
 
     chunked = lambda x: x.reshape(b2, 8, 128)
-    t_tiles = cs_set.super_stream.shape[1]
+    k = cs_set.tris_per_cluster
     n_supers = cs  # OOB block indices fault the TPU: clamp defensively
     geom_spec = pl.BlockSpec(
-        (1, t_tiles, 128),
+        (1, SUB_PER_SUPER * k, 16),
+        lambda i, c: (jnp.clip(c[i], 0, n_supers - 1), 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    sbox_spec = pl.BlockSpec(
+        (1, SUB_PER_SUPER, 8),
         lambda i, c: (jnp.clip(c[i], 0, n_supers - 1), 0, 0),
         memory_space=pltpu.VMEM,
     )
@@ -404,8 +450,9 @@ def _round(cs_set: ClusterSet, ox, oy, oz, dx, dy, dz, tl, cursor, kc: int, bps:
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(b2,),
-        in_specs=[geom_spec] + [pair_spec] * 7,
+        in_specs=[geom_spec, sbox_spec] + [pair_spec] * 7,
         out_specs=[pair_spec] * 5,
+        scratch_shapes=[pltpu.VMEM((8, 128), jnp.float32)] * 4,
     )
     out_shape = [
         jax.ShapeDtypeStruct((b2, 8, 128), jnp.float32),
@@ -415,15 +462,14 @@ def _round(cs_set: ClusterSet, ox, oy, oz, dx, dy, dz, tl, cursor, kc: int, bps:
         jax.ShapeDtypeStruct((b2, 8, 128), jnp.int32),
     ]
     t_s, tri_s, u_s, v_s, done_s = pl.pallas_call(
-        functools.partial(
-            _mt_kernel, k=cs_set.tris_per_cluster, cs=cs, any_hit=any_hit
-        ),
+        functools.partial(_mt_kernel, k=k, cs=cs, any_hit=any_hit),
         grid_spec=grid_spec,
         out_shape=out_shape,
         interpret=_interpret(),
     )(
         block_cluster,
-        cs_set.super_stream,
+        cs_set.super_geom,
+        cs_set.super_sbox,
         chunked(fox), chunked(foy), chunked(foz),
         chunked(fdx), chunked(fdy), chunked(fdz), chunked(ftl),
     )

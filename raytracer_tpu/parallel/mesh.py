@@ -35,6 +35,8 @@ from ..scene.camera import Camera
 from ..scene.types import SceneData, SceneMeta
 
 AXIS = "tiles"
+HOST_AXIS = "hosts"
+CHIP_AXIS = "chips"
 
 
 def make_mesh(devices=None) -> Mesh:
@@ -43,9 +45,64 @@ def make_mesh(devices=None) -> Mesh:
     return Mesh(devices, (AXIS,))
 
 
+def init_distributed(coordinator_address=None, num_processes=None, process_id=None):
+    """Multi-controller runtime init (SURVEY §2.9 backend row).
+
+    One call per host process before any jax computation.  On managed TPU
+    pods the arguments are auto-detected from the environment; pass them
+    explicitly for manual clusters (incl. the CPU multiprocess dryrun,
+    tests/test_multihost.py).  Collectives then ride ICI within a host's
+    chips and DCN across hosts — the distributed analogue of the reference's
+    single-process ThreadPool (`Core/Utils/ThreadPool.h:16-58`)."""
+    # NOTE: must not touch the backend here (jax.devices()/process_count()
+    # would initialise XLA and make distributed init impossible)
+    if jax.distributed.is_initialized():
+        return
+    kwargs = {}
+    if coordinator_address is not None:
+        kwargs = dict(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    jax.distributed.initialize(**kwargs)
+
+
+def make_multihost_mesh(devices=None) -> Mesh:
+    """("hosts", "chips") mesh: the outer axis crosses DCN (host boundaries),
+    the inner axis stays on ICI.  Shardings that keep heavy collectives on
+    the inner axis (photon all_gathers, film psums) ride ICI; only the final
+    cross-host reductions touch DCN."""
+    import numpy as np
+
+    devices = list(devices) if devices is not None else list(jax.devices())
+    by_proc = {}
+    for d in devices:
+        by_proc.setdefault(d.process_index, []).append(d)
+    procs = sorted(by_proc)
+    per = len(by_proc[procs[0]])
+    assert all(len(by_proc[p]) == per for p in procs), "uneven devices per host"
+    grid = np.array([by_proc[p] for p in procs], dtype=object)
+    return Mesh(grid, (HOST_AXIS, CHIP_AXIS))
+
+
+def _mesh_axes(mesh: Mesh) -> tuple:
+    return tuple(mesh.axis_names)
+
+
+def _flat_index(mesh: Mesh):
+    """Linear device index across (possibly several) mesh axes, row-major."""
+    axes = _mesh_axes(mesh)
+    idx = jax.lax.axis_index(axes[0])
+    for a in axes[1:]:
+        idx = idx * mesh.shape[a] + jax.lax.axis_index(a)
+    return idx
+
+
 def film_sharding(mesh: Mesh) -> Film:
     """Sharding pytree for a Film: images sharded by rows, counters replicated."""
-    img = NamedSharding(mesh, P(AXIS, None, None))
+    axes = _mesh_axes(mesh)
+    img = NamedSharding(mesh, P(axes, None, None))
     rep = NamedSharding(mesh, P())
     return Film(sum=img, secondary_sum=img, num_passes=rep, num_secondary_passes=rep)
 
@@ -67,10 +124,11 @@ def render_pass_sharded(
     H / n_devices) and accumulates into its local film shard.  No collective
     is emitted — ICI stays free for gradient psums in the training path.
     """
-    n_dev = mesh.shape[AXIS]
+    axes = _mesh_axes(mesh)
+    n_dev = mesh.devices.size
     assert vp.height % n_dev == 0, f"height {vp.height} % devices {n_dev} != 0"
     rows_per = vp.height // n_dev
-    film_spec = Film(P(AXIS, None, None), P(AXIS, None, None), P(), P())
+    film_spec = Film(P(axes, None, None), P(axes, None, None), P(), P())
     has_halton = halton is not None
     halton_operands = (halton,) if has_halton else ()
     halton_specs = (P(),) if has_halton else ()
@@ -83,7 +141,7 @@ def render_pass_sharded(
         check_vma=False,
     )
     def shard_fn(scene, cam, film_shard, pass_idx, *maybe_halton):
-        band = jax.lax.axis_index(AXIS)
+        band = _flat_index(mesh)
         row0 = band * rows_per
         h = maybe_halton[0] if maybe_halton else None
         radiance, counters = trace_rows(
@@ -106,7 +164,7 @@ def render_pass_sharded(
         )
         # whole-frame ray accounting (the reference merges per-thread counters
         # after each pass, `Viewport.cpp:282-287`); one psum over ICI
-        counters = jax.tree.map(lambda c: jax.lax.psum(c, AXIS), counters)
+        counters = jax.tree.map(lambda c: jax.lax.psum(c, axes), counters)
         return film_out, counters
 
     return shard_fn(scene, cam, film, pass_idx, *halton_operands)
@@ -132,10 +190,11 @@ def render_pass_vcm_sharded(
     from ..integrators.vcm import VcmParams, render_pass_vcm
 
     vcm = vcm if vcm is not None else VcmParams()
-    n_dev = mesh.shape[AXIS]
+    axes = _mesh_axes(mesh)
+    n_dev = mesh.devices.size
     assert vp.height % n_dev == 0, f"height {vp.height} % devices {n_dev} != 0"
     rows_per = vp.height // n_dev
-    film_spec = Film(P(AXIS, None, None), P(AXIS, None, None), P(), P())
+    film_spec = Film(P(axes, None, None), P(axes, None, None), P(), P())
 
     @functools.partial(
         jax.shard_map,
@@ -145,11 +204,11 @@ def render_pass_vcm_sharded(
         check_vma=False,
     )
     def shard_fn(scene, cam, film_shard, pass_idx):
-        band = jax.lax.axis_index(AXIS)
+        band = _flat_index(mesh)
         row0 = band * rows_per
         return render_pass_vcm(
             scene, meta, cam, film_shard, pass_idx, None, vp, params, vcm,
-            rows=rows_per, row0=row0, axis_name=AXIS,
+            rows=rows_per, row0=row0, axis_name=axes if len(axes) > 1 else axes[0],
         )
 
     return shard_fn(scene, cam, film, pass_idx)
@@ -171,18 +230,19 @@ def train_step_sharded(
     pattern for inverse rendering at scale: forward+backward wavefront per
     band, gradient reduction over ICI (the 'merge per-thread results'
     analogue, `Viewport.cpp:282-287`)."""
-    n_dev = mesh.shape[AXIS]
+    axes = _mesh_axes(mesh)
+    n_dev = mesh.devices.size
     rows_per = vp.height // n_dev
 
     @functools.partial(
         jax.shard_map,
         mesh=mesh,
-        in_specs=(P(), P(), P(AXIS, None, None), P()),
+        in_specs=(P(), P(), P(axes, None, None), P()),
         out_specs=(P(), P()),
         check_vma=False,
     )
     def shard_fn(scene, cam, target_band, pass_idx):
-        band = jax.lax.axis_index(AXIS)
+        band = _flat_index(mesh)
         row0 = band * rows_per
 
         def loss_fn(mat_params):
@@ -209,8 +269,8 @@ def train_step_sharded(
         # discrete structure)
         m = scene.materials
         loss, grads = jax.value_and_grad(loss_fn)((m.base_color, m.emission, m.roughness))
-        loss = jax.lax.psum(loss, AXIS)
-        grads = jax.lax.psum(grads, AXIS)
+        loss = jax.lax.psum(loss, axes)
+        grads = jax.lax.psum(grads, axes)
         return loss, grads
 
     return shard_fn(scene, cam, target, pass_idx)

@@ -60,6 +60,15 @@ class ClusterSet(NamedTuple):
     # [8*K*9 : 8*K*10)     triangle ids as f32 values (-1 = pad)
     # [8*K*10 : +48)       8 sub-cluster AABBs [min.xyz, max.xyz]
     super_stream: jnp.ndarray = None
+    # component-major layout for the vectorized MT kernel (wave2): tris on
+    # SUBLANES so each geometry component is an (ntri, 1) column the kernel
+    # broadcasts along ray lanes — no scalar VMEM reads in the hot loop.
+    # (Cs, 8*K, 16) f32, lanes [v0.xyz, e1.xyz, e2.xyz, tri_id, 6 pad];
+    # rows grouped by sub-cluster (rows [s*K, (s+1)*K) = sub s)
+    super_geom: jnp.ndarray = None
+    # (Cs, 8, 8) f32 sub-cluster AABBs, lanes [min.xyz, max.xyz, 0, 0] —
+    # subs on sublanes for the vectorized (8 subs x 128 rays) gate test
+    super_sbox: jnp.ndarray = None
 
     @property
     def num_supers(self) -> int:
@@ -122,7 +131,7 @@ def build_clusters(
     vmin = np.where(valid, verts, np.inf).min(axis=(1, 2))
     vmax = np.where(valid, verts, -np.inf).max(axis=(1, 2))
 
-    super_box, super_stream = _pack_super_clusters(
+    super_box, super_stream, super_geom, super_sbox = _pack_super_clusters(
         blocks.reshape(c, k * 9), ids.reshape(c, k), vmin, vmax
     )
     return ClusterSet(
@@ -138,6 +147,8 @@ def build_clusters(
         ),
         super_box=super_box,
         super_stream=super_stream,
+        super_geom=super_geom,
+        super_sbox=super_sbox,
     )
 
 
@@ -177,7 +188,19 @@ def _pack_super_clusters(
         [vmin.reshape(cs, SUB_PER_SUPER, 3), vmax.reshape(cs, SUB_PER_SUPER, 3)], axis=2
     )  # (cs, 8, 6)
     out[:, g + SUB_PER_SUPER * k : flat_len] = sb.reshape(cs, -1)
-    return jnp.asarray(super_box), jnp.asarray(out.reshape(cs, tiles * 8, 128))
+
+    # component-major blocks: tris on sublanes, components on lanes
+    geom = np.zeros((cs, SUB_PER_SUPER * k, 16), np.float32)
+    geom[:, :, :9] = tri_block.reshape(cs, SUB_PER_SUPER * k, 9)
+    geom[:, :, 9] = tri_id.reshape(cs, SUB_PER_SUPER * k).astype(np.float32)
+    sbox = np.zeros((cs, SUB_PER_SUPER, 8), np.float32)
+    sbox[:, :, :6] = sb
+    return (
+        jnp.asarray(super_box),
+        jnp.asarray(out.reshape(cs, tiles * 8, 128)),
+        jnp.asarray(geom),
+        jnp.asarray(sbox),
+    )
 
 
 def _pack_stream_blocks(

@@ -66,7 +66,7 @@ def main():
             np.testing.assert_allclose(np.asarray(pu)[m], np.asarray(ru)[m], rtol=1e-2, atol=2e-3)
         assert frac > 0.999, f"tri disagreement {1-frac:.2%}"
 
-        ra = jax.block_until_ready(cluster_any_hit(cs, origin, direction, jnp.full(n, 5.0)))
+        ra = jax.block_until_ready(cluster_any_hit(cs, origin, direction, jnp.full(n, 5.0))[0])
         pa = jax.block_until_ready(pallas_cluster_any_hit(cs, origin, direction, jnp.full(n, 5.0)))
         aa = float((np.asarray(ra) == np.asarray(pa)).mean())
         print(f"  any-hit agree {aa:.6f}")

@@ -85,4 +85,4 @@ timed(full_round8, "full _round (kc=8)")
 def full_trace(ox):
     return w2._wave2_trace(cs, ox, o.y, o.z, d.x, d.y, d.z, tm, KC, False, 64)
 
-# timed(full_trace, "full _wave2_trace (kc=16)")  # skipped: compile budget
+timed(full_trace, "full _wave2_trace (kc=16)", r1=2, r2=6, outer=3)

@@ -230,7 +230,7 @@ def main():
         t_sh = jnp.full(n_rays, 4.0)
         occ_c = None
         if want("cluster"):
-            occ_c, dt_ca = timeit(jca, origin, direction, t_sh)
+            (occ_c, _ovf_c), dt_ca = timeit(jca, origin, direction, t_sh)
             print(
                 f"[{label}] jnp-cluster any-hit: {dt_ca * 1e3:9.2f} ms  "
                 f"{n_rays / dt_ca / 1e6:7.1f} Mray/s  occl={float(jnp.mean(occ_c)):.3f}"
