@@ -180,6 +180,7 @@ def _merge_frames(is_tri, a: PrimFrame, b: PrimFrame) -> PrimFrame:
 def _sample_lights_nee(
     scene: SceneData, meta: SceneMeta, params: RenderParams, frame: PrimFrame,
     mp, wo_local, pick_prob, is_last, stream: SampleStream, time=None,
+    active=None,
 ):
     """NEE (`PathTracerMIS.cpp:43-155`): 'single' picks one light uniformly,
     'all' loops every light. Returns (contribution, n_shadow_rays,
@@ -214,8 +215,15 @@ def _sample_lights_nee(
 
         shadow_origin = frame.position + ill.dir_to_light * SHADOW_OFFSET
         max_t = jnp.minimum(ill.distance * 0.999, BIG)
+        # lanes whose NEE contribution is already zero (dead paths, invalid
+        # light samples, black BSDF) shadow-trace with t_max = 0 — free in
+        # the wavefront engines (zero candidates emitted)
+        needed = ill.valid & f_nonzero
+        if active is not None:
+            needed = needed & active
         occluded, sh_ovf = scene_occluded(
-            scene, shadow_origin, ill.dir_to_light, max_t, time=time
+            scene, shadow_origin, ill.dir_to_light, jnp.where(needed, max_t, 0.0),
+            time=time,
         )
         n_shadow = n_shadow + jnp.sum((ill.valid & f_nonzero).astype(jnp.float32))
         n_overflow = n_overflow + jnp.sum(
@@ -284,7 +292,11 @@ def trace_radiance(
 
     def bounce(state: _PathState, depth) -> _PathState:
         num_rays = state.num_rays + jnp.sum(state.alive.astype(jnp.float32))
-        hits = scene_traverse(scene, state.origin, state.direction, time=time)
+        # dead lanes trace with t_max = 0: the wavefront engines then emit
+        # zero candidates for them, so terminated paths cost (almost) nothing
+        # — the TPU analogue of the reference simply not tracing dead pixels
+        ray_cap = jnp.where(state.alive, BIG, 0.0)
+        hits = scene_traverse(scene, state.origin, state.direction, t_max=ray_cap, time=time)
         num_box = state.num_box_tests
         num_tri = state.num_tri_tests
         if params.count_traversal:
@@ -384,7 +396,7 @@ def trace_radiance(
         if params.mis:
             nee, n_sh, n_sh_ovf, stream = _sample_lights_nee(
                 scene, meta, params, frame, mp, wo_local, pick_prob, is_last, stream,
-                time=time,
+                time=time, active=survive,
             )
             num_shadow = num_shadow + n_sh
             num_overflow = num_overflow + n_sh_ovf
