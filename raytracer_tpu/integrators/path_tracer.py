@@ -89,6 +89,10 @@ def _combine_mis(sample_pdf, other_pdf):
 class _PathState(NamedTuple):
     origin: Vec3
     direction: Vec3
+    # closest-hit record for the CURRENT segment (origin, direction) — traced
+    # at the END of the previous bounce (fused with its shadow query), so a
+    # bounce starts with its geometry already known
+    hits: object
     throughput: Vec3
     result: Vec3
     alive: jnp.ndarray
@@ -180,11 +184,20 @@ def _merge_frames(is_tri, a: PrimFrame, b: PrimFrame) -> PrimFrame:
 def _sample_lights_nee(
     scene: SceneData, meta: SceneMeta, params: RenderParams, frame: PrimFrame,
     mp, wo_local, pick_prob, is_last, stream: SampleStream, time=None,
-    active=None,
+    active=None, defer=False,
 ):
     """NEE (`PathTracerMIS.cpp:43-155`): 'single' picks one light uniformly,
-    'all' loops every light. Returns (contribution, n_shadow_rays,
-    n_shadow_overflow, stream)."""
+    'all' loops every light.
+
+    ``defer=False``: traces the shadow ray here; returns
+    (contribution, n_shadow_rays, n_shadow_overflow, stream).
+
+    ``defer=True`` (single shadow ray per lane only): skips the occlusion
+    query and returns (unoccluded contribution, shadow Rays spec, needed
+    mask, n_shadow_rays, stream) so the caller can FUSE the shadow query
+    with the next bounce's closest-hit traversal — one wavefront dispatch
+    per bounce instead of two.
+    """
     n_lights = max(meta.n_lights, 1)
     u_pick, stream = next_1d(stream)
     if params.light_strategy == "all" and n_lights > 1:
@@ -193,6 +206,7 @@ def _sample_lights_nee(
         light_indices = [jnp.zeros_like(frame.material_id)]
     else:
         light_indices = [jnp.clip((u_pick * n_lights).astype(jnp.int32), 0, n_lights - 1)]
+    assert not (defer and len(light_indices) > 1), "defer needs one shadow ray"
 
     total = Vec3.full(jnp.zeros_like(wo_local.x))
     n_shadow = jnp.zeros((), jnp.float32)
@@ -221,14 +235,7 @@ def _sample_lights_nee(
         needed = ill.valid & f_nonzero
         if active is not None:
             needed = needed & active
-        occluded, sh_ovf = scene_occluded(
-            scene, shadow_origin, ill.dir_to_light, jnp.where(needed, max_t, 0.0),
-            time=time,
-        )
         n_shadow = n_shadow + jnp.sum((ill.valid & f_nonzero).astype(jnp.float32))
-        n_overflow = n_overflow + jnp.sum(
-            (ill.valid & f_nonzero & sh_ovf).astype(jnp.float32)
-        )
 
         w = jnp.where(
             (~l.is_delta) & (~is_last),
@@ -238,9 +245,28 @@ def _sample_lights_nee(
         scale = (
             w
             / jnp.maximum(pick_prob * ill.direct_pdf_w, 1e-12)
-            * (ill.valid & f_nonzero & (~occluded)).astype(jnp.float32)
+            * (ill.valid & f_nonzero).astype(jnp.float32)
         )
-        total = total + radiance * f * scale
+        contrib = radiance * f * scale
+
+        if defer:
+            return (
+                contrib,
+                Rays(origin=shadow_origin, dir=ill.dir_to_light),
+                jnp.where(needed, max_t, 0.0),
+                needed,
+                n_shadow,
+                stream,
+            )
+
+        occluded, sh_ovf = scene_occluded(
+            scene, shadow_origin, ill.dir_to_light, jnp.where(needed, max_t, 0.0),
+            time=time,
+        )
+        n_overflow = n_overflow + jnp.sum(
+            (ill.valid & f_nonzero & sh_ovf).astype(jnp.float32)
+        )
+        total = total + contrib * (~occluded).astype(jnp.float32)
     return total, n_shadow, n_overflow, stream
 
 
@@ -273,16 +299,26 @@ def trace_radiance(
         else:
             wavelength = sample_wavelength(u_l)
 
+    # camera segment traced up front; every later segment is traced fused
+    # with the preceding bounce's shadow ray (ONE wavefront dispatch/bounce)
+    hits0 = scene_traverse(scene, rays.origin, rays.dir, time=time)
+    # single shadow ray per lane => the occlusion query can fuse with the
+    # next closest-hit ('all'-strategy multi-light NEE keeps its own query)
+    fused_shadow = params.mis and not (
+        params.light_strategy == "all" and meta.n_lights > 1
+    )
+
     init = _PathState(
         origin=rays.origin,
         direction=rays.dir,
+        hits=hits0,
         throughput=Vec3.ones(n),
         result=Vec3.zeros(n),
         alive=jnp.ones(n, bool),
         last_pdf=jnp.ones(n, jnp.float32),
         last_specular=jnp.ones(n, bool),
         stream=stream,
-        num_rays=jnp.zeros((), jnp.float32),
+        num_rays=jnp.full((), float(rays.origin.x.shape[0]), jnp.float32),
         num_shadow_rays=jnp.zeros((), jnp.float32),
         num_overflow=jnp.zeros((), jnp.float32),
         num_box_tests=jnp.zeros((), jnp.float32),
@@ -291,12 +327,8 @@ def trace_radiance(
     )
 
     def bounce(state: _PathState, depth) -> _PathState:
-        num_rays = state.num_rays + jnp.sum(state.alive.astype(jnp.float32))
-        # dead lanes trace with t_max = 0: the wavefront engines then emit
-        # zero candidates for them, so terminated paths cost (almost) nothing
-        # — the TPU analogue of the reference simply not tracing dead pixels
-        ray_cap = jnp.where(state.alive, BIG, 0.0)
-        hits = scene_traverse(scene, state.origin, state.direction, t_max=ray_cap, time=time)
+        num_rays = state.num_rays
+        hits = state.hits
         num_box = state.num_box_tests
         num_tri = state.num_tri_tests
         if params.count_traversal:
@@ -393,7 +425,16 @@ def trace_radiance(
         stream = state.stream
         is_last = depth >= params.max_depth
         num_shadow = state.num_shadow_rays
-        if params.mis:
+        survive_pre = survive  # NEE applies with the PRE-RR throughput/mask
+        shadow = None
+        if params.mis and fused_shadow:
+            nee_c, shadow_rays, shadow_cap, _needed, n_sh, stream = _sample_lights_nee(
+                scene, meta, params, frame, mp, wo_local, pick_prob, is_last, stream,
+                time=time, active=survive, defer=True,
+            )
+            shadow = (nee_c, shadow_rays, shadow_cap)
+            num_shadow = num_shadow + n_sh
+        elif params.mis:
             nee, n_sh, n_sh_ovf, stream = _sample_lights_nee(
                 scene, meta, params, frame, mp, wo_local, pick_prob, is_last, stream,
                 time=time, active=survive,
@@ -434,10 +475,47 @@ def trace_radiance(
             throughput = vwhere(collapse, throughput * Vec3(r, g, b), throughput)
             dispersed = state.dispersed | (survive & mp.dispersive)
 
-        new_origin = frame.position + wi_world * RAY_OFFSET
+        new_origin = vwhere(survive, frame.position + wi_world * RAY_OFFSET, state.origin)
+        new_dir = vwhere(survive, wi_world, state.direction)
+
+        # --- next-segment traversal, FUSED with this bounce's shadow query ----
+        # (the reference traces them as two separate queries per bounce,
+        # `PathTracerMIS.cpp` Traverse + Traverse_Shadow; one combined
+        # wavefront halves the per-dispatch fixed costs, and the engine's
+        # liveness compaction makes the dead halves free).  Dead lanes carry
+        # t_max = 0 -> zero candidates -> (almost) zero cost.
+        next_cap = jnp.where(survive, BIG, 0.0)
+        num_rays = num_rays + jnp.sum(survive.astype(jnp.float32))
+        if shadow is not None:
+            nee_c, shadow_rays, shadow_cap = shadow
+            cat = lambda a, b: jnp.concatenate([a, b])
+            catv = lambda a, b: Vec3(cat(a.x, b.x), cat(a.y, b.y), cat(a.z, b.z))
+            mo = catv(new_origin, shadow_rays.origin)
+            md = catv(new_dir, shadow_rays.dir)
+            mcap = cat(next_cap, shadow_cap)
+            mtime = cat(time, time) if time is not None else None
+            mhits = scene_traverse(scene, mo, md, t_max=mcap, time=mtime)
+            nn = new_origin.x.shape[0]
+            hits_next = jax.tree.map(
+                lambda a: a[:nn] if a is not None else None, mhits,
+                is_leaf=lambda a: a is None,
+            )
+            occluded = mhits.t[nn:] < shadow_cap
+            sh_ovf = mhits.overflow[nn:]
+            num_overflow = num_overflow + jnp.sum(
+                ((shadow_cap > 0.0) & sh_ovf).astype(jnp.float32)
+            )
+            nee_w = ((shadow_cap > 0.0) & (~occluded)).astype(jnp.float32)
+            result = result + state.throughput * nee_c * (
+                nee_w * survive_pre.astype(jnp.float32)
+            )
+        else:
+            hits_next = scene_traverse(scene, new_origin, new_dir, t_max=next_cap, time=time)
+
         return _PathState(
-            origin=vwhere(survive, new_origin, state.origin),
-            direction=vwhere(survive, wi_world, state.direction),
+            origin=new_origin,
+            direction=new_dir,
+            hits=hits_next,
             throughput=throughput,
             result=result,
             alive=survive,

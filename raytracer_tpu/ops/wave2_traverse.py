@@ -15,31 +15,36 @@ fast on this hardware:
   being gathered afterwards;
 - **sequential DMA** (BlockSpec pipelining + double-buffered manual copies).
 
-Pipeline per round:
+Pipeline (round 4 shape):
 
-1. ``_p1_kernel`` (Pallas): every ray-block tests all super-cluster AABBs
-   (8 Morton-consecutive 64-tri clusters; SMEM-resident) and emits, per
-   ray, up to ``kc`` overlapped super ids in ascending id order plus the
-   count of ids it could not emit.  Ascending-id order makes the resume
-   cursor a single int per ray.
-2. Pair join (host XLA): one 9-operand `lax.sort` by super id moves each
-   pair's full ray payload next to its cluster's other pairs.
-3. Work items: each 1024-pair chunk overlaps at most a few id-runs; a tiny
-   run table (`searchsorted` over Cs+1 ids) expands into per-step item
-   lists (chunk, super, lane range).  Items a chunk cannot hold (> M runs)
-   are left unprocessed and flagged — never silently dropped.
-4. ``_mt_kernel`` (Pallas): streams items with double-buffered DMA of each
-   super's packed geometry (one (T,128) tile block per super), slab-tests
-   the 8 sub-cluster boxes to skip untouched 64-tri sub-blocks, and runs
-   Moller-Trumbore with scalar-broadcast geometry.  Emits per-pair
-   (t, tri, u, v, processed).
-5. Reduce: one more sort returns results to ray-major order; a dense
-   (N, kc) masked min picks each ray's best.  Unprocessed candidates move
-   the ray's resume cursor back so nothing is lost.
-6. Continuation: rays with remaining candidates (count > kc, dropped
-   items, or shrunken t bounds) are compacted (sort) into fixed-size
-   sub-wavefronts and re-traced in a `lax.while_loop` until none remain —
-   the exactness guarantee, typically 0-2 iterations for <=15% of rays.
+0. Liveness windows (``_wave2_trace``): rays with work (t_max > 0) are
+   compacted to the front by ONE stable sort and traced in fixed-size
+   ``SUBWAVE`` windows via `lax.while_loop` — wavefront cost follows the
+   LIVE ray count down the bounce ladder; an all-dead wavefront costs two
+   small sorts and nothing else.
+1. ``_p1_extract`` (XLA): dense (rays × Cs) slab test; the 0/1 hit matrix
+   is bit-packed by one bf16 MXU matmul, then a find-first-set peel emits
+   up to ``kc`` overlapped super ids per ray (ascending id = the resume
+   cursor is one int) plus the count it could not emit.
+2. Pair join: one 9-operand `lax.sort` on the composite key
+   ``super_id << 21 | ray_octant | origin_Morton`` — chunks stay
+   single-super while each chunk's rays become spatially/directionally
+   coherent (so the kernel's (row, sub-box) gates cull; this is the
+   stubbed RayStream sorter's intent, `Core/Traversal/RayStream.cpp`).
+   A second sort filler-pads every super's run to 1024-pair chunks, so no
+   chunk crosses supers and nothing can be dropped.
+3. ``_mt_kernel`` (Pallas): per chunk, DMA the super's component-major
+   geometry (tris on sublanes) and run fully-vectorized Möller-Trumbore —
+   every op an (8 tris × 128 rays) VPU tile, geometry components broadcast
+   from (8,1) columns, ray components from (1,128) rows: ZERO scalar reads
+   in the hot loop.  (8 subs × 128 rays) slab gates skip sub-clusters a
+   row's rays do not touch.  Emits per-pair (t, tri, u, v, processed).
+4. Reduce: one more sort returns results to ray-major order; a dense
+   (N, kc) masked min picks each ray's best.
+5. Continuation: rays with remaining candidates (count > kc or shrunken t
+   bounds) are compacted (sort) into ``NSUB`` sub-wavefronts and re-traced
+   in a `lax.while_loop` until none remain — the exactness guarantee,
+   typically 0-2 iterations for <=15% of rays.
 
 CPU runs the same code under `interpret=True` (tests); TPU compiles the
 kernels.  AD-detached like every traversal backend (SURVEY §7).
@@ -69,6 +74,10 @@ HIT_EPS = 1e-4
 CHUNK = 1024  # pairs per MT work chunk (one (8, 128) f32 tile)
 M_RUNS = 4  # max id-runs considered per chunk (excess -> continuation)
 NSUB = 16384  # continuation sub-wavefront size
+# pair sort key = super_id << shift | octant(3) | origin Morton; the shift
+# adapts to the super count so the composite key stays inside int32
+def _key_shift(cs: int) -> int:
+    return max(0, min(21, 31 - max(1, int(cs + 1).bit_length())))
 BIGF = 3.0e38
 
 
@@ -365,7 +374,46 @@ def _round(cs_set: ClusterSet, ox, oy, oz, dx, dy, dz, tl, cursor, kc: int, bps:
         return jnp.concatenate([x, jnp.full((extra,), fill, x.dtype)]) if extra else x
 
     rep = lambda x: jnp.broadcast_to(x[:, None], (n, kc)).reshape(p)
-    key = pad_to(cand.reshape(p), p_pad, cs)
+
+    # --- composite sort key: (super id | ray octant | ray origin Morton).
+    # Chunks stay single-super (the primary field), but pairs WITHIN a
+    # super's run are spatially+directionally sorted, so the 128-ray rows a
+    # chunk feeds the kernel are coherent and the kernel's per-(row, sub)
+    # gate actually culls (with index-ordered rays a row's sub-box union is
+    # ~all 8 of 8; with Morton|octant rows it collapses to the rays' true
+    # footprint).  The stubbed RayStream sorter's intent, done in the join
+    # (`Core/Traversal/RayStream.cpp:26-48`).
+    import os as _os
+
+    key_shift = _key_shift(cs) if _os.environ.get("RT_WAVE2_SPATIAL_KEY", "1") != "0" else 0
+    mbits = max(0, key_shift - 3)
+    valid_s = cs_set.super_box[:, 0] <= cs_set.super_box[:, 3]
+    glo = [jnp.min(jnp.where(valid_s, cs_set.super_box[:, i], jnp.inf)) for i in range(3)]
+    ghi = [jnp.max(jnp.where(valid_s, cs_set.super_box[:, 3 + i], -jnp.inf)) for i in range(3)]
+
+    bpa = mbits // 3  # Morton bits per axis
+    top = float(2 ** bpa - 1)
+
+    def qb(x, lo, hi):
+        return jnp.clip((x - lo) / jnp.maximum(hi - lo, 1e-9) * top, 0.0, top).astype(jnp.int32)
+
+    qx, qy, qz = qb(ox, glo[0], ghi[0]), qb(oy, glo[1], ghi[1]), qb(oz, glo[2], ghi[2])
+    morton = jnp.zeros_like(qx)
+    for b in range(bpa):
+        morton = (
+            morton
+            | (((qx >> b) & 1) << (3 * b))
+            | (((qy >> b) & 1) << (3 * b + 1))
+            | (((qz >> b) & 1) << (3 * b + 2))
+        )
+    octant = (
+        (dx < 0).astype(jnp.int32)
+        | ((dy < 0).astype(jnp.int32) << 1)
+        | ((dz < 0).astype(jnp.int32) << 2)
+    )
+    okey = ((octant << mbits) | morton) if key_shift >= 3 else jnp.zeros_like(morton)
+    key = jnp.where(cand < cs, (cand << key_shift) | okey[:, None], cs << key_shift)
+    key = pad_to(key.reshape(p), p_pad, cs << key_shift)
     pidx = pad_to(jnp.arange(p, dtype=jnp.int32), p_pad, p)
     # barrier: lax.sort is multi-pass — letting XLA fuse the broadcasts/pads
     # into it re-evaluates them per pass (measured 50x slowdown on v5e)
@@ -383,9 +431,12 @@ def _round(cs_set: ClusterSet, ox, oy, oz, dx, dy, dz, tl, cursor, kc: int, bps:
     # to CHUNK multiples so each 1024-pair chunk belongs to exactly ONE
     # cluster — nothing can ever be dropped (no run-crossing items), which
     # is what makes the resume/continuation loop terminate unconditionally.
-    start = _searchsorted(sk, jnp.arange(cs + 1, dtype=jnp.int32) - 1)  # first pair with id >= c
+    # first pair with super id >= c (keys are composite: super << key_shift)
+    start = _searchsorted(sk, (jnp.arange(cs + 1, dtype=jnp.int32) << key_shift) - 1)
     pos = jnp.arange(p_pad, dtype=jnp.int32)
-    is_start = jnp.concatenate([jnp.ones(1, bool), sk[1:] != sk[:-1]])
+    is_start = jnp.concatenate(
+        [jnp.ones(1, bool), (sk[1:] >> key_shift) != (sk[:-1] >> key_shift)]
+    )
     run_start = jax.lax.cummax(jnp.where(is_start, pos, 0))
     prev_start = jnp.concatenate([jnp.zeros(1, jnp.int32), run_start[:-1]])
     prev_len = pos - prev_start  # at a run start: length of the PREVIOUS run
@@ -518,22 +569,15 @@ def _round(cs_set: ClusterSet, ox, oy, oz, dx, dy, dz, tl, cursor, kc: int, bps:
 
 
 # --------------------------------------------------------------------------
-# Driver: round 1 on the full wavefront + compacted continuation loop
+# Driver: liveness-compacted sub-wave windows, each run to completion
 # --------------------------------------------------------------------------
 
+SUBWAVE = 65536  # rays per traced window (cost scales with LIVE rays)
 
-@functools.partial(jax.jit, static_argnames=("kc", "any_hit", "max_iters"))
-def _wave2_trace(cs_set: ClusterSet, ox, oy, oz, dx, dy, dz, tm, kc: int, any_hit: bool, max_iters: int):
-    n0 = ox.shape[0]
-    n = -(-n0 // CHUNK) * CHUNK
 
-    def padded(x, fill):
-        return jnp.concatenate([x, jnp.full((n - n0,), fill, x.dtype)]) if n != n0 else x
-
-    ox, oy, oz = padded(ox, 0.0), padded(oy, 0.0), padded(oz, 0.0)
-    dx, dy, dz = padded(dx, 1.0), padded(dy, 0.0), padded(dz, 0.0)
-    tm = padded(tm, 0.0)
-
+def _window_trace(cs_set: ClusterSet, ox, oy, oz, dx, dy, dz, tm, kc: int, any_hit: bool, max_iters: int):
+    """Round + compacted-continuation loop on one already-padded window."""
+    n = ox.shape[0]
     cursor0 = jnp.full(n, -1, jnp.int32)
     bps = max(1, min(32, (n * kc) // CHUNK))
     t1, tri1, u1, v1, cur1, unres1 = _round(
@@ -572,16 +616,82 @@ def _wave2_trace(cs_set: ClusterSet, ox, oy, oz, dx, dy, dz, tm, kc: int, any_hi
     _, t, tri, u, v, _, unres = jax.lax.while_loop(
         cond, body, (jnp.int32(0), t1, tri1, u1, v1, cur1, unres1)
     )
-    return t[:n0], tri[:n0], u[:n0], v[:n0], unres[:n0]
+    return t, tri, u, v, unres
 
 
-def wave2_closest_hit(cs: ClusterSet, origin: Vec3, direction: Vec3, t_max, kc: int = 16, max_iters: int = 64):
+@functools.partial(jax.jit, static_argnames=("kc", "any_hit", "max_iters"))
+def _wave2_trace(cs_set: ClusterSet, ox, oy, oz, dx, dy, dz, tm, kc: int, any_hit: bool, max_iters: int):
+    """Full-wavefront trace: rays with work (t_max > 0) are compacted to the
+    front with ONE stable sort, then traced in fixed-size SUBWAVE windows by
+    a `lax.while_loop` over ceil(live / SUBWAVE) iterations.  Terminated or
+    masked-out lanes (t_max == 0, the integrator's dead paths) therefore
+    cost one sort ride and nothing else — the wavefront's cost follows the
+    LIVE ray count down the bounce ladder, like the reference only tracing
+    the rays that exist (`Viewport.cpp:305-356` per-pixel loop), instead of
+    paying full sort-join cost for an all-lanes wavefront every bounce."""
+    n0 = ox.shape[0]
+    s = min(SUBWAVE, -(-n0 // CHUNK) * CHUNK)
+    n = -(-n0 // s) * s
+
+    def padded(x, fill):
+        return jnp.concatenate([x, jnp.full((n - n0,), fill, x.dtype)]) if n != n0 else x
+
+    ox, oy, oz = padded(ox, 0.0), padded(oy, 0.0), padded(oz, 0.0)
+    dx, dy, dz = padded(dx, 1.0), padded(dy, 0.0), padded(dz, 0.0)
+    tm = padded(tm, 0.0)
+
+    wanted = tm > 0.0
+    ridx, cox, coy, coz, cdx, cdy, cdz, ctm = jax.lax.optimization_barrier(
+        jax.lax.sort(
+            [(~wanted).astype(jnp.int32), jnp.arange(n, dtype=jnp.int32),
+             ox, oy, oz, dx, dy, dz, tm],
+            num_keys=1,
+        )
+    )[1:]
+    n_sub = -(-jnp.sum(wanted.astype(jnp.int32)) // s)
+
+    t0 = ctm
+    tri0 = jnp.full(n, -1, jnp.int32)
+    z = jnp.zeros(n, jnp.float32)
+    ovf0 = jnp.zeros(n, bool)
+
+    def cond(st):
+        return st[0] < n_sub
+
+    def body(st):
+        i, t, tri, u, v, ovf = st
+        off = i * s
+        sl = lambda a: jax.lax.dynamic_slice(a, (off,), (s,))
+        tw, triw, uw, vw, ovfw = _window_trace(
+            cs_set, sl(cox), sl(coy), sl(coz), sl(cdx), sl(cdy), sl(cdz),
+            sl(ctm), kc, any_hit, max_iters,
+        )
+        upd = lambda a, w: jax.lax.dynamic_update_slice(a, w, (off,))
+        return (i + 1, upd(t, tw), upd(tri, triw), upd(u, uw), upd(v, vw), upd(ovf, ovfw))
+
+    _, t, tri, u, v, ovf = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), t0, tri0, z, z, ovf0)
+    )
+
+    # back to caller order (results ride the unsort)
+    _, t, tri, u, v, ovf = jax.lax.optimization_barrier(
+        jax.lax.sort([ridx, t, tri, u, v, ovf.astype(jnp.int32)], num_keys=1)
+    )
+    return t[:n0], tri[:n0], u[:n0], v[:n0], (ovf > 0)[:n0]
+
+
+import os
+
+_KC_DEFAULT = int(os.environ.get("RT_WAVE2_KC", "16"))  # perf-tuning knob
+
+
+def wave2_closest_hit(cs: ClusterSet, origin: Vec3, direction: Vec3, t_max, kc: int = None, max_iters: int = 64):
     """Closest hit. Returns (t, tri_id, u, v, overflow) — exact; overflow
     only marks rays still unresolved after ``max_iters`` continuation
     sub-rounds (practically unreachable)."""
     cs, origin, direction, t_max = jax.lax.stop_gradient((cs, origin, direction, t_max))
     tm = jnp.asarray(t_max) * jnp.ones(origin.x.shape, jnp.float32)
-    kc = min(kc, cs.num_supers)
+    kc = min(kc or _KC_DEFAULT, cs.num_supers)
     t, tri, u, v, overflow = _wave2_trace(
         cs, origin.x, origin.y, origin.z, direction.x, direction.y, direction.z,
         tm, kc, False, max_iters,
@@ -590,11 +700,11 @@ def wave2_closest_hit(cs: ClusterSet, origin: Vec3, direction: Vec3, t_max, kc: 
     return jnp.where(missed, BIG, t), tri, u, v, overflow
 
 
-def wave2_any_hit(cs: ClusterSet, origin: Vec3, direction: Vec3, t_max, kc: int = 16, max_iters: int = 64):
+def wave2_any_hit(cs: ClusterSet, origin: Vec3, direction: Vec3, t_max, kc: int = None, max_iters: int = 64):
     """Any-hit occlusion query. Returns (occluded, overflow)."""
     cs, origin, direction, t_max = jax.lax.stop_gradient((cs, origin, direction, t_max))
     tm = jnp.asarray(t_max) * jnp.ones(origin.x.shape, jnp.float32)
-    kc = min(kc, cs.num_supers)
+    kc = min(kc or _KC_DEFAULT, cs.num_supers)
     t, tri, _, _, overflow = _wave2_trace(
         cs, origin.x, origin.y, origin.z, direction.x, direction.y, direction.z,
         tm, kc, True, max_iters,

@@ -55,11 +55,6 @@ class ClusterSet(NamedTuple):
     # (Cs, 6) world AABB of each super-cluster [min.xyz, max.xyz]; empty
     # (padding) supers have min > max
     super_box: jnp.ndarray = None
-    # (Cs, SUPER_TILES, 128) f32 packed geometry per super, flat layout:
-    # [0 : 8*K*9)          sub-cluster triangle geometry (v0,e1,e2 rows)
-    # [8*K*9 : 8*K*10)     triangle ids as f32 values (-1 = pad)
-    # [8*K*10 : +48)       8 sub-cluster AABBs [min.xyz, max.xyz]
-    super_stream: jnp.ndarray = None
     # component-major layout for the vectorized MT kernel (wave2): tris on
     # SUBLANES so each geometry component is an (ntri, 1) column the kernel
     # broadcasts along ray lanes — no scalar VMEM reads in the hot loop.
@@ -131,7 +126,7 @@ def build_clusters(
     vmin = np.where(valid, verts, np.inf).min(axis=(1, 2))
     vmax = np.where(valid, verts, -np.inf).max(axis=(1, 2))
 
-    super_box, super_stream, super_geom, super_sbox = _pack_super_clusters(
+    super_box, super_geom, super_sbox = _pack_super_clusters(
         blocks.reshape(c, k * 9), ids.reshape(c, k), vmin, vmax
     )
     return ClusterSet(
@@ -146,7 +141,6 @@ def build_clusters(
             blocks.reshape(c, k * 9), ids.reshape(c, k), vmin, vmax
         ),
         super_box=super_box,
-        super_stream=super_stream,
         super_geom=super_geom,
         super_sbox=super_sbox,
     )
@@ -177,17 +171,9 @@ def _pack_super_clusters(
     smin = vmin.reshape(cs, SUB_PER_SUPER, 3).min(1)
     smax = vmax.reshape(cs, SUB_PER_SUPER, 3).max(1)
     super_box = np.concatenate([smin, smax], axis=1).astype(np.float32)
-
-    flat_len = SUB_PER_SUPER * (k9 + k + 6)
-    tiles = (flat_len + 1023) // 1024
-    out = np.zeros((cs, tiles * 1024), np.float32)
-    g = SUB_PER_SUPER * k9
-    out[:, :g] = tri_block.reshape(cs, g)
-    out[:, g : g + SUB_PER_SUPER * k] = tri_id.reshape(cs, -1).astype(np.float32)
     sb = np.concatenate(
         [vmin.reshape(cs, SUB_PER_SUPER, 3), vmax.reshape(cs, SUB_PER_SUPER, 3)], axis=2
     )  # (cs, 8, 6)
-    out[:, g + SUB_PER_SUPER * k : flat_len] = sb.reshape(cs, -1)
 
     # component-major blocks: tris on sublanes, components on lanes
     geom = np.zeros((cs, SUB_PER_SUPER * k, 16), np.float32)
@@ -195,12 +181,7 @@ def _pack_super_clusters(
     geom[:, :, 9] = tri_id.reshape(cs, SUB_PER_SUPER * k).astype(np.float32)
     sbox = np.zeros((cs, SUB_PER_SUPER, 8), np.float32)
     sbox[:, :, :6] = sb
-    return (
-        jnp.asarray(super_box),
-        jnp.asarray(out.reshape(cs, tiles * 8, 128)),
-        jnp.asarray(geom),
-        jnp.asarray(sbox),
-    )
+    return jnp.asarray(super_box), jnp.asarray(geom), jnp.asarray(sbox)
 
 
 def _pack_stream_blocks(
