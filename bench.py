@@ -31,6 +31,46 @@ REF_CORNELL_MRAYS = 3.95
 # /tmp/raytracer_bench/bench_mesh_200k.json, 512^2 x 8 passes, depth 6):
 # measured 3.26 Mray/s — see BASELINE.md "mesh scene" row
 REF_MESH_MRAYS = 3.26
+# reference CPU on the generated Sponza-class interior (800k tris,
+# tools/gen_interior.py; bench_scene 512^2 x 2 passes, depth 6, 2026-08-21:
+# {"total_rays": 3640689, "seconds": 5.4218, "mrays_per_sec": 0.671})
+REF_INTERIOR_MRAYS = 0.671
+
+
+def bench_backward(scene, meta, cam, size=256):
+    """Forward+backward throughput: value_and_grad of an image loss w.r.t.
+    material tables (the differentiable-rendering row BASELINE.md demands)."""
+    import jax
+
+    from raytracer_tpu.integrators.path_tracer import RenderParams
+    from raytracer_tpu.render.renderer import ViewportParams, trace_rows
+
+    vp = ViewportParams(width=size, height=size, seed=0)
+    params = RenderParams(max_depth=4, mis=True)
+
+    @jax.jit
+    def step(base_color_x):
+        mats = scene.materials._replace(
+            base_color=scene.materials.base_color._replace(x=base_color_x)
+        )
+        s = scene._replace(materials=mats)
+        radiance, counters = trace_rows(s, meta, cam, jnp.int32(0), None, vp, params)
+        loss = (radiance.x + radiance.y + radiance.z).mean()
+        return loss, counters.num_rays + counters.num_shadow_rays
+
+    grad_fn = jax.jit(jax.value_and_grad(lambda b: step(b)[0]))
+    bx = scene.materials.base_color.x
+    (loss, g) = grad_fn(bx)
+    np.asarray(g)[:1]
+    _, nrays = step(bx)
+    nrays = float(nrays)
+    t0 = time.perf_counter()
+    reps = 3
+    for _ in range(reps):
+        loss, g = grad_fn(bx)
+    np.asarray(g)[:1]
+    dt = (time.perf_counter() - t0) / reps
+    return nrays / dt / 1e6
 
 
 def bench_scene(scene, meta, cam, size, params, n_passes):
@@ -103,6 +143,34 @@ def main():
         "vs_baseline": round(mesh_mrays / REF_MESH_MRAYS, 3),
         "traversal_overflow_rays": overflow,
     }))
+
+    # --- Sponza-class interior (800k tris, 6 meshes, textures, area lights;
+    # tools/gen_interior.py) — forward and forward+backward rows, vs the
+    # reference measured on the IDENTICAL scene files (BASELINE.md) ---------
+    if on_tpu:
+        from gen_interior import ensure_interior
+
+        iscene, imeta, icam = load_scene(ensure_interior())
+        int_mrays, int_ovf = bench_scene(
+            iscene, imeta, icam, size=512,
+            params=RenderParams(max_depth=6, mis=True), n_passes=2,
+        )
+        print(json.dumps({
+            "metric": "mrays_per_sec_interior800k_mis",
+            "value": round(int_mrays, 3),
+            "unit": "Mray/s",
+            "vs_baseline": round(int_mrays / REF_INTERIOR_MRAYS, 3),
+            "traversal_overflow_rays": int_ovf,
+        }))
+
+        # differentiable row: forward+backward Mray/s (loss + material grads)
+        fb_mrays = bench_backward(iscene, imeta, icam, size=256)
+        print(json.dumps({
+            "metric": "mrays_per_sec_interior800k_fwd_bwd",
+            "value": round(fb_mrays, 3),
+            "unit": "Mray/s (forward rays; cost includes reverse pass)",
+            "vs_baseline": None,
+        }))
 
 
 if __name__ == "__main__":

@@ -161,6 +161,9 @@ def _parse_materials(doc: dict, builder: SceneBuilder, tex: "_TexResolver"):
                 normal_strength=float(m.get("normalMapStrength", 1.0)),
                 dispersive=bool(m.get("dispersive", False)),
                 abbe=float(m.get("abbe", 30.0)),
+                dispersion_c=float(m.get("dispersionC", 0.00420)),
+                dispersion_d=float(m.get("dispersionD", 0.0)),
+                disp_use_abbe="abbe" in m,
             )
         )
 
@@ -187,8 +190,10 @@ def _parse_objects(doc: dict, builder: SceneBuilder, data_path: str):
         elif typ == "box":
             builder.add_box(tf, tuple(o["size"]), mat_id)
         elif typ in ("rect", "plane"):
+            ts = o.get("textureScale", [1.0, 1.0])
             size = o.get("size", (3.0e37, 3.0e37))
-            builder.add_rect(tf, (float(size[0]), float(size[1])), mat_id)
+            builder.add_rect(tf, (float(size[0]), float(size[1])), mat_id,
+                             uv_scale=(float(ts[0]), float(ts[1])))
         elif typ == "mesh":
             path = o["path"]
             full = path if os.path.isabs(path) else os.path.join(data_path, path)

@@ -238,6 +238,12 @@ def eval_prim_frame(prims: Primitives, prim_id, origin: Vec3, direction: Vec3, t
     n_local = vwhere(kind == PRIM_SPHERE, sph_n, vwhere(kind == PRIM_BOX, box_n, rect_n))
     u = jnp.where(kind == PRIM_SPHERE, sph_u, jnp.where(kind == PRIM_BOX, box_u, p_local.x))
     v = jnp.where(kind == PRIM_SPHERE, sph_v, jnp.where(kind == PRIM_BOX, box_v, p_local.y))
+    # per-object texture scale (`RectShape.cpp:128`); (1,1) everywhere unless
+    # the scene set "textureScale"
+    if prims.uv_scale is not None:
+        us = _gather_vec3(prims.uv_scale, jnp.maximum(prim_id, 0))
+        u = u * us.x
+        v = v * us.y
 
     normal = normalize(rot.to_world(n_local), eps=1e-20)
     # tangent frame: consistent, from normal (reference orthonormalizes too,

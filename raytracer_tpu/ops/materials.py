@@ -145,7 +145,18 @@ def resolve_material(scene: SceneData, material_id, tex_u=None, tex_v=None,
     if wavelength is not None:
         from ..color.spectrum import cauchy_ior
 
-        ior = jnp.where(dispersive, cauchy_ior(ior, mats.abbe[idx], wavelength), ior)
+        # reference form (`RoughDielectricBSDF.cpp:33-37`): base IoR plus
+        # Cauchy C/lambda^2 + D/lambda^4 terms (lambda in um); the (n_d,
+        # abbe) form is our schema extension, selected per material
+        lam_um = wavelength * 1e-3
+        l2 = jnp.maximum(lam_um * lam_um, 1e-6)
+        ior_cd = ior + mats.dispersion_c[idx] / l2 + mats.dispersion_d[idx] / (l2 * l2)
+        ior_ab = cauchy_ior(ior, mats.abbe[idx], wavelength)
+        ior = jnp.where(
+            dispersive,
+            jnp.where(mats.disp_use_abbe[idx], ior_ab, ior_cd),
+            ior,
+        )
 
     if scene.decals is not None and position is not None:
         base_color, roughness = _apply_decals(scene, position, base_color, roughness)

@@ -37,6 +37,9 @@ class MaterialDesc:
     normal_strength: float = 1.0
     dispersive: bool = False  # Cauchy dispersion (spectral mode only)
     abbe: float = 30.0  # Abbe number V_d (lower = stronger dispersion)
+    dispersion_c: float = 0.00420  # reference BK7 default (`Material.cpp:26`)
+    dispersion_d: float = 0.0
+    disp_use_abbe: bool = False  # True => (n_d, abbe) Cauchy extension form
 
 
 @dataclass
@@ -47,6 +50,7 @@ class PrimDesc:
     material_id: int
     light_id: int = T.INVALID_ID
     velocity: tuple = (0.0, 0.0, 0.0)  # linear motion over the shutter (t in [0,1])
+    uv_scale: tuple = (1.0, 1.0)  # RectShape::mTextureScale ("textureScale")
 
 
 @dataclass
@@ -157,9 +161,9 @@ class SceneBuilder:
     def add_box(self, transform: RigidTransform, half_size, material_id: int, light_id=T.INVALID_ID, velocity=(0.0, 0.0, 0.0)):
         self.prims.append(PrimDesc(T.PRIM_BOX, transform, tuple(half_size), material_id, light_id, velocity))
 
-    def add_rect(self, transform: RigidTransform, half_size2, material_id: int, light_id=T.INVALID_ID, velocity=(0.0, 0.0, 0.0)):
+    def add_rect(self, transform: RigidTransform, half_size2, material_id: int, light_id=T.INVALID_ID, velocity=(0.0, 0.0, 0.0), uv_scale=(1.0, 1.0)):
         sx, sy = half_size2
-        self.prims.append(PrimDesc(T.PRIM_RECT, transform, (sx, sy, 0.0), material_id, light_id, velocity))
+        self.prims.append(PrimDesc(T.PRIM_RECT, transform, (sx, sy, 0.0), material_id, light_id, velocity, tuple(uv_scale)))
 
     def add_mesh(self, vertices, indices, normals, uvs, material_ids, transform: RigidTransform | None = None):
         """Add a triangle mesh. vertices (V,3), indices (F,3), normals (V,3),
@@ -244,6 +248,9 @@ class SceneBuilder:
             normal_strength=jnp.asarray([m.normal_strength for m in mats], jnp.float32),
             dispersive=jnp.asarray([m.dispersive for m in mats], bool),
             abbe=jnp.asarray([m.abbe for m in mats], jnp.float32),
+            dispersion_c=jnp.asarray([m.dispersion_c for m in mats], jnp.float32),
+            dispersion_d=jnp.asarray([m.dispersion_d for m in mats], jnp.float32),
+            disp_use_abbe=jnp.asarray([m.disp_use_abbe for m in mats], bool),
         )
 
         prim_list = self.prims
@@ -261,6 +268,7 @@ class SceneBuilder:
             material_id=jnp.asarray([p.material_id for p in prim_list], jnp.int32),
             light_id=jnp.asarray([p.light_id for p in prim_list], jnp.int32),
             vel=_vec3_np([p.velocity for p in prim_list], None),
+            uv_scale=_vec3_np([(p.uv_scale[0], p.uv_scale[1], 1.0) for p in prim_list], None),
         )
 
         lights = self._build_lights()

@@ -110,6 +110,9 @@ class Primitives(NamedTuple):
     # (`Core/Scene/Object/SceneObject.h:22-55`, sampled per pixel at
     # `Viewport.cpp:309`)
     vel: Vec3  # (P,)
+    # per-object texture-coordinate scale (u, v) — `RectShape::mTextureScale`
+    # (`Core/Shapes/RectShape.cpp:128`, parsed from JSON "textureScale")
+    uv_scale: Vec3 = None
 
     @property
     def count(self) -> int:
@@ -194,10 +197,16 @@ class Materials(NamedTuple):
     normal_tex: jnp.ndarray
     mask_tex: jnp.ndarray
     normal_strength: jnp.ndarray  # (M,)
-    # spectral dispersion (`Material.h:60-66` Sellmeier/Cauchy params, here as
-    # d-line IoR + Abbe number; active in spectral mode only)
+    # spectral dispersion (`Material.h:60-66`; active in spectral mode only).
+    # Reference form: ior(lambda) = IoR + C/lambda_um^2 + D/lambda_um^4 with
+    # BK7 defaults C=0.0042, D=0 (`Material.cpp:23-28`, the only values its
+    # scenes can use — SceneLoader parses just the "dispersive" bool).  Our
+    # extension: an explicit "abbe" key selects the (n_d, V_d) Cauchy form.
     dispersive: jnp.ndarray  # (M,) bool
-    abbe: jnp.ndarray  # (M,) f32 Abbe number V_d
+    abbe: jnp.ndarray  # (M,) f32 Abbe number V_d (extension form)
+    dispersion_c: jnp.ndarray = None  # (M,) f32 Cauchy C (um^2)
+    dispersion_d: jnp.ndarray = None  # (M,) f32 Cauchy D (um^4)
+    disp_use_abbe: jnp.ndarray = None  # (M,) bool: abbe form instead of C/D
 
     @property
     def count(self) -> int:
