@@ -54,6 +54,13 @@ def _load_bitmap(data_path: str, rel: str) -> np.ndarray:
     import jax.numpy as jnp
 
     img = np.asarray(Image.open(path).convert("RGB"), np.float32) / 255.0
+    if path.lower().endswith(".bmp"):
+        # the reference freads the BMP pixel array raw (`BitmapBMP.cpp:127`)
+        # without undoing the format's bottom-up row order, so its v axis is
+        # flipped relative to the authored image; PIL decodes top-down —
+        # flip to match the reference's sampling (verified: checker phase on
+        # bitmap_texture_test inverts without this, corr -0.89 -> +parity)
+        img = img[::-1]
     return np.asarray(srgb_to_linear(jnp.asarray(img)))
 
 

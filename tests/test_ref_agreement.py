@@ -114,6 +114,11 @@ def test_golden_agreement(name):
 # ---------------------------------------------------------------------------
 
 MODERN_SCENES = {
+    # ships with NO lights (renders black in both renderers as-is): the
+    # lit_variant adds a neutral background light; the ground rect carries
+    # per-object textureScale (RectShape::mTextureScale parity) over the
+    # stand-in checker texture
+    "bitmap_texture_test": (48, 0.08, 0.03),
     # the sphere LIGHT agrees to <1% in the mean; the wide mean-rel band is
     # the near-black textured ground: our loader ignores the old-schema
     # per-object "textureScale" (known gap), which shifts the dim checker
@@ -143,7 +148,10 @@ def modern_dir():
 
     mz.OUT_DIR = os.path.join(data_dir, "TestScenes_modern")
     for name in MODERN_SCENES:
-        mz.modernize(name)
+        if name in mz.LIT_SCENES:
+            mz.lit_variant(name)
+        else:
+            mz.modernize(name)
     return data_dir
 
 
@@ -169,6 +177,38 @@ def test_modern_golden_agreement(name, modern_dir):
     ours = vp.radiance()
     g = _downsample(golden)
     o = _downsample(np.asarray(ours))
+    rel = np.abs(o - g) / np.maximum(g, 1e-2)
+    mean_rel = float(rel.mean())
+    ratio = float(o.mean() / max(g.mean(), 1e-9))
+    assert mean_rel <= mean_tol, f"{name}: mean rel {mean_rel:.4f} > {mean_tol}"
+    assert abs(ratio - 1.0) <= ratio_tol, f"{name}: ratio {ratio:.4f}"
+
+
+ENV_SCENES = {
+    # diffuse sphere under the stand-in lat-long HDR env (sun blob + sky
+    # gradient): exercises env-map importance sampling + GetRadiance parity
+    "material_env_test": (48, 0.10, 0.04),
+}
+
+
+@pytest.mark.parametrize("name", sorted(ENV_SCENES))
+def test_env_golden_agreement(name, modern_dir):
+    passes, mean_tol, ratio_tol = ENV_SCENES[name]
+    golden = read_exr(os.path.join(GOLDENS, f"{name}.exr"))
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        scene, meta, cam = load_scene(
+            f"{REF_SCENES}/{name}.json", data_path=modern_dir
+        )
+    vp = Viewport(
+        scene, meta, cam,
+        ViewportParams(width=128, height=128, seed=0),
+        RenderParams(max_depth=8, mis=True),
+    )
+    vp.render(passes)
+    ours = np.asarray(vp.radiance())
+    g = _downsample(golden)
+    o = _downsample(ours)
     rel = np.abs(o - g) / np.maximum(g, 1e-2)
     mean_rel = float(rel.mean())
     ratio = float(o.mean() / max(g.mean(), 1e-9))

@@ -87,6 +87,39 @@ def _rad_to_deg_orientations(node):
             _rad_to_deg_orientations(v)
 
 
+# scenes that ship UNLIT (render black in both renderers as-is): add a
+# neutral background light so texture/material parity has signal; also
+# normalize Windows backslash texture paths for POSIX loaders
+LIT_SCENES = {
+    "bitmap_texture_test": [{"type": "background", "color": [1.2, 1.2, 1.2]}],
+}
+
+
+def _fix_paths(node):
+    if isinstance(node, dict):
+        for k, v in node.items():
+            if isinstance(v, str) and "\\" in v:
+                node[k] = v.replace("\\", "/")
+            else:
+                _fix_paths(v)
+    elif isinstance(node, list):
+        for v in node:
+            _fix_paths(v)
+
+
+def lit_variant(name: str) -> str:
+    """Current-schema scene that only needs lights added (no radian/light
+    conversion — orientations are already degrees)."""
+    src = f"/root/reference/Data/TestScenes/{name}.json"
+    doc = json.load(open(src))
+    _fix_paths(doc)
+    doc["lights"] = doc.get("lights", []) + LIT_SCENES[name]
+    os.makedirs(OUT_DIR, exist_ok=True)
+    out = os.path.join(OUT_DIR, f"{name}.json")
+    json.dump(doc, open(out, "w"), indent=1)
+    return out
+
+
 def modernize(name: str) -> str:
     src = f"/root/reference/Data/TestScenes/{name}.json"
     doc = json.load(open(src))
