@@ -494,7 +494,11 @@ def trace_radiance(
             md = catv(new_dir, shadow_rays.dir)
             mcap = cat(next_cap, shadow_cap)
             mtime = cat(time, time) if time is not None else None
-            mhits = scene_traverse(scene, mo, md, t_max=mcap, time=mtime)
+            nn0 = new_origin.x.shape[0]
+            ah_mask = jnp.concatenate(
+                [jnp.zeros(nn0, bool), jnp.ones(shadow_cap.shape[0], bool)]
+            )
+            mhits = scene_traverse(scene, mo, md, t_max=mcap, time=mtime, any_hit=ah_mask)
             nn = new_origin.x.shape[0]
             hits_next = jax.tree.map(
                 lambda a: a[:nn] if a is not None else None, mhits,

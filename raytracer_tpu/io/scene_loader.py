@@ -26,7 +26,7 @@ import os
 import numpy as np
 
 from ..math.transform import RigidTransform, parse_transform
-from ..ops.textures import AtlasBuilder, FILTER_BILINEAR
+from ..ops.textures import AtlasBuilder, FILTER_BILINEAR_SMOOTHSTEP
 from ..scene import types as T
 from ..scene.build import LightDesc, MaterialDesc, SceneBuilder
 from ..scene.camera import make_camera
@@ -85,7 +85,7 @@ def _parse_textures(
                 missing.append(tex["path"])
                 names[name] = atlas.add_const((1.0, 1.0, 1.0))
                 continue
-            names[name] = atlas.add_bitmap(img, FILTER_BILINEAR)
+            names[name] = atlas.add_bitmap(img, FILTER_BILINEAR_SMOOTHSTEP)
         elif typ == "checkerboard":
             names[name] = atlas.add_checkerboard(tuple(tex["colorA"]), tuple(tex["colorB"]))
         elif typ == "noise":
@@ -134,7 +134,7 @@ class _TexResolver:
             self.missing.append(rel)
             self.names[name] = self.atlas.add_const((1.0, 1.0, 1.0))
             return self.names[name]
-        self.names[name] = self.atlas.add_bitmap(img, FILTER_BILINEAR)
+        self.names[name] = self.atlas.add_bitmap(img, FILTER_BILINEAR_SMOOTHSTEP)
         return self.names[name]
 
 

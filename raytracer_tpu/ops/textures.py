@@ -148,19 +148,23 @@ def _bitmap_eval(atlas: TextureAtlas, tid, u, v) -> Vec3:
     vv = jnp.mod(v, 1.0) * h.astype(jnp.float32)
     n_ix = jnp.clip(uu.astype(jnp.int32), 0, w - 1)
     n_iy = jnp.clip(vv.astype(jnp.int32), 0, h - 1)
-    bu = uu - 0.5
-    bv = vv - 0.5
-    ix0 = jnp.floor(bu).astype(jnp.int32)
-    iy0 = jnp.floor(bv).astype(jnp.int32)
-    fu = bu - ix0.astype(jnp.float32)
-    fv = bv - iy0.astype(jnp.float32)
+    # texel-CORNER convention, exactly as the reference: texel0 = floor(u*W),
+    # texel1 = texel0+1 wrapped, weight = frac — no half-texel recentering
+    # (`BitmapTexture.cpp:47-72`; a -0.5 center convention shifts the whole
+    # texture half a texel and bleeds checker cells at tile seams)
+    ix0 = jnp.clip(jnp.floor(uu).astype(jnp.int32), 0, w - 1)
+    iy0 = jnp.clip(jnp.floor(vv).astype(jnp.int32), 0, h - 1)
+    fu = uu - jnp.floor(uu)
+    fv = vv - jnp.floor(vv)
     smooth = fmode == FILTER_BILINEAR_SMOOTHSTEP
     fu = jnp.where(smooth, fu * fu * (3.0 - 2.0 * fu), fu)
     fv = jnp.where(smooth, fv * fv * (3.0 - 2.0 * fv), fv)
+    ix1 = jnp.where(ix0 + 1 >= w, 0, ix0 + 1)  # wrap secondary coords
+    iy1 = jnp.where(iy0 + 1 >= h, 0, iy0 + 1)
     c00 = _fetch(atlas, y0, h, w, ix0, iy0)
-    c10 = _fetch(atlas, y0, h, w, ix0 + 1, iy0)
-    c01 = _fetch(atlas, y0, h, w, ix0, iy0 + 1)
-    c11 = _fetch(atlas, y0, h, w, ix0 + 1, iy0 + 1)
+    c10 = _fetch(atlas, y0, h, w, ix1, iy0)
+    c01 = _fetch(atlas, y0, h, w, ix0, iy1)
+    c11 = _fetch(atlas, y0, h, w, ix1, iy1)
     bil = (
         c00 * ((1.0 - fu) * (1.0 - fv))
         + c10 * (fu * (1.0 - fv))

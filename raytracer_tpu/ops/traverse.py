@@ -42,7 +42,7 @@ from ..scene.types import SceneData
 from .intersect import BIG, Hits, intersect_prims
 
 _MODE = "auto"
-_VALID_MODES = ("auto", "wave2", "wave", "sorted-pallas", "cluster", "bvh")
+_VALID_MODES = ("auto", "wave2", "wave", "sorted-pallas", "cluster", "bvh", "null")
 
 
 def set_traversal_mode(mode: str) -> None:
@@ -67,6 +67,10 @@ def _resolved_mode(scene: SceneData) -> str:
     import jax
 
     on_tpu = jax.default_backend() in ("tpu", "axon")
+    import os as _os
+
+    if _os.environ.get("RT_TRAVERSAL_MODE"):
+        return _os.environ["RT_TRAVERSAL_MODE"]
     if _MODE != "auto":
         if _MODE == "wave" and on_tpu:
             # wave-v1 has a known data-dependent kernel fault on TPU at
@@ -96,8 +100,20 @@ def _resolved_fallback() -> str:
 def _cs_closest(mode, clusters, bvh, tris, origin: Vec3, direction: Vec3, t_cap):
     """Dispatch closest-hit over ONE cluster set to the selected backend.
 
+    ``t_cap`` may be per-ray SIGN-ENCODED: negative marks an any-hit
+    (occlusion) lane with limit |t_cap| — the wave2 engine honors the
+    early-exit semantics per lane; other backends run closest-hit on |t_cap|
+    (same answer, no early exit).
+
     Returns (t, tri_id, u, v, overflow)."""
+    if mode != "wave2":
+        t_cap = jnp.abs(jnp.asarray(t_cap))
     args = jax.lax.stop_gradient((clusters, origin, direction, t_cap))
+    if mode == "null":
+        # diagnostics only: skip mesh traversal entirely (perf ablation)
+        n = origin.x.shape
+        return (jnp.full(n, BIG), jnp.full(n, -1, jnp.int32),
+                jnp.zeros(n), jnp.zeros(n), jnp.zeros(n, bool))
     if mode == "wave2":
         from .wave2_traverse import wave2_closest_hit
 
@@ -124,6 +140,8 @@ def _cs_occluded(mode, clusters, bvh, tris, origin: Vec3, direction: Vec3, t_max
     """Any-hit over ONE cluster set. Returns (occluded, overflow)."""
     n = origin.x.shape
     args = jax.lax.stop_gradient((clusters, origin, direction, t_max))
+    if mode == "null":
+        return jnp.zeros(n, bool), jnp.zeros(n, bool)
     if mode == "wave2":
         from .wave2_traverse import wave2_any_hit
 
@@ -161,9 +179,13 @@ def _instance_local_ray(scene: SceneData, i: int, origin: Vec3, direction: Vec3,
     return o_l, d_l
 
 
-def scene_traverse(scene: SceneData, origin: Vec3, direction: Vec3, t_max=None, time=None) -> Hits:
+def scene_traverse(scene: SceneData, origin: Vec3, direction: Vec3, t_max=None, time=None, any_hit=None) -> Hits:
     """``time`` (N,): per-ray shutter time for motion blur (analytic prims
-    and instanced meshes; baked world-space triangles are static)."""
+    and instanced meshes; baked world-space triangles are static).
+
+    ``any_hit`` (N,) bool, optional: lanes that only need an occlusion
+    answer (shadow rays in a fused wavefront) — their mesh queries keep
+    any-hit early-exit semantics (t collapses to 0 on the first hit)."""
     n = origin.x.shape
     if t_max is None:
         t_max = jnp.full(n, BIG)
@@ -188,10 +210,13 @@ def scene_traverse(scene: SceneData, origin: Vec3, direction: Vec3, t_max=None, 
         best_v = jnp.where(closer, tv, best_v)
         best_inst = jnp.where(closer, inst_id, best_inst)
 
+    def signed(cap):
+        return jnp.where(any_hit, -cap, cap) if any_hit is not None else cap
+
     if scene.tris is not None and scene.clusters is not None:
         t_t, tid, tu, tv, ovf = _cs_closest(
             mode, scene.clusters, scene.bvh, scene.tris, origin, direction,
-            jnp.minimum(t_p, t_max),
+            signed(jnp.minimum(t_p, t_max)),
         )
         overflow = overflow | ovf
         fold(t_t, tid, tu, tv, -1)
@@ -212,7 +237,7 @@ def scene_traverse(scene: SceneData, origin: Vec3, direction: Vec3, t_max=None, 
             geom = scene.mesh_geoms[mid]
             o_l, d_l = _instance_local_ray(scene, i, origin, direction, time)
             t_t, tid, tu, tv, ovf = _cs_closest(
-                inst_mode, geom.clusters, None, geom.tris, o_l, d_l, best_t
+                inst_mode, geom.clusters, None, geom.tris, o_l, d_l, signed(best_t)
             )
             overflow = overflow | ovf
             fold(t_t, tid, tu, tv, i)

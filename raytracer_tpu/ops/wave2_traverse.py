@@ -160,7 +160,8 @@ def _p1_extract(cs_set: ClusterSet, ox, oy, oz, dx, dy, dz, tl, cursor, kc: int)
             jnp.maximum(t1z, t2z),
         )
         ent = jnp.maximum(tmin, 0.0)
-        hit = (tmax >= ent) & (ent < ctl) & (cid_row > ccur)
+        # tl's SIGN encodes per-ray any-hit mode; the limit is |tl|
+        hit = (tmax >= ent) & (ent < jnp.abs(ctl)) & (cid_row > ccur)
         words = jax.lax.dot(
             hit.astype(jnp.bfloat16), w_pack,
             precision=jax.lax.Precision.DEFAULT,
@@ -230,7 +231,12 @@ def _mt_kernel(
     dx = dx_ref[0]
     dy = dy_ref[0]
     dz = dz_ref[0]
-    tl = tl_ref[0]
+    tl_signed = tl_ref[0]
+    # per-lane any-hit: tl < 0 marks an occlusion query with limit |tl|
+    # (the fused integrator traces shadow + next-bounce rays in ONE
+    # wavefront; shadow lanes keep their early-exit semantics this way)
+    ah_l = tl_signed < 0.0
+    tl = jnp.abs(tl_signed)
     # filler / pad lanes carry tl == 0 -> they can never register a hit
     mask = tl > 0.0
 
@@ -258,6 +264,7 @@ def _mt_kernel(
             rix, riy, riz = ix8[ro], iy8[ro], iz8[ro]
             rtl = tl[ro]
             rmask = mask[ro]
+            rah = ah_l[ro]
 
             # (8 subs × 128 rays) slab gate — subs on sublanes
             t1x = (sb(0) - rox) * rix
@@ -324,7 +331,9 @@ def _mt_kernel(
                             bt = jnp.where(hit, 0.0, bt)
                             btid = jnp.where(hit, tid, btid)
                         else:
-                            bt = jnp.where(hit, tt, bt)
+                            # any-hit LANES collapse to t=0 on first hit so
+                            # every later test fails the (tt < bt) gate fast
+                            bt = jnp.where(hit, jnp.where(rah, 0.0, tt), bt)
                             btid = jnp.where(hit, tid, btid)
                             bu = jnp.where(hit, uu, bu)
                             bv = jnp.where(hit, vv, bv)
@@ -363,6 +372,8 @@ def _round(cs_set: ClusterSet, ox, oy, oz, dx, dy, dz, tl, cursor, kc: int, bps:
     """
     n = ox.shape[0]
     cs = cs_set.num_supers
+    ah_ray = tl < 0.0  # sign encodes per-ray any-hit (limit |tl|)
+    tl_abs = jnp.abs(tl)
     cand, remaining = _p1_extract(cs_set, ox, oy, oz, dx, dy, dz, tl, cursor, kc)
 
     p = n * kc
@@ -553,7 +564,7 @@ def _round(cs_set: ClusterSet, ox, oy, oz, dx, dy, dz, tl, cursor, kc: int, bps:
     best_tri = jnp.where(got_hit, best_tri, -1)
     best_u = jnp.where(got_hit, best_u, 0.0)
     best_v = jnp.where(got_hit, best_v, 0.0)
-    t_round = jnp.where(got_hit, best_t, tl)
+    t_round = jnp.where(got_hit, best_t, tl_abs)
 
     unproc = slot_valid & (done_p == 0)
     any_unproc = jnp.any(unproc, axis=1)
@@ -565,6 +576,7 @@ def _round(cs_set: ClusterSet, ox, oy, oz, dx, dy, dz, tl, cursor, kc: int, bps:
     unresolved = any_unproc | (remaining > 0)
     if any_hit:
         unresolved = unresolved & (best_tri < 0)
+    unresolved = unresolved & ~(ah_ray & (best_tri >= 0))
     return t_round, best_tri, best_u, best_v, new_cursor, unresolved
 
 
@@ -576,7 +588,9 @@ SUBWAVE = 65536  # rays per traced window (cost scales with LIVE rays)
 
 
 def _window_trace(cs_set: ClusterSet, ox, oy, oz, dx, dy, dz, tm, kc: int, any_hit: bool, max_iters: int):
-    """Round + compacted-continuation loop on one already-padded window."""
+    """Round + compacted-continuation loop on one already-padded window.
+    ``tm`` may carry per-ray any-hit encoding (negative = occlusion query
+    with limit |tm|)."""
     n = ox.shape[0]
     cursor0 = jnp.full(n, -1, jnp.int32)
     bps = max(1, min(32, (n * kc) // CHUNK))
@@ -599,9 +613,11 @@ def _window_trace(cs_set: ClusterSet, ox, oy, oz, dx, dy, dz, tm, kc: int, any_h
         )[1][:nsub]
         live = unres[sel]
         g = lambda a: a[sel]
+        ah_sel = g(tm) < 0.0
+        cap = jnp.where(live, jnp.where(ah_sel, -g(t), g(t)), 0.0)
         t_r, tri_r, u_r, v_r, cur_r, unres_r = _round(
             cs_set, g(ox), g(oy), g(oz), g(dx), g(dy), g(dz),
-            jnp.where(live, g(t), 0.0), g(cur), kc, bps_sub, any_hit,
+            cap, g(cur), kc, bps_sub, any_hit,
         )
         improved = live & (t_r < t[sel])
         wi = jnp.where(live, sel, n)  # drop writes for dead lanes
@@ -640,7 +656,7 @@ def _wave2_trace(cs_set: ClusterSet, ox, oy, oz, dx, dy, dz, tm, kc: int, any_hi
     dx, dy, dz = padded(dx, 1.0), padded(dy, 0.0), padded(dz, 0.0)
     tm = padded(tm, 0.0)
 
-    wanted = tm > 0.0
+    wanted = tm != 0.0
     ridx, cox, coy, coz, cdx, cdy, cdz, ctm = jax.lax.optimization_barrier(
         jax.lax.sort(
             [(~wanted).astype(jnp.int32), jnp.arange(n, dtype=jnp.int32),
