@@ -52,22 +52,43 @@ class LightSlice(NamedTuple):
 
 
 def gather_light(lights: Lights, idx) -> LightSlice:
+    """All 24 light columns in ONE one-hot MXU matmul (ops/smallgather.py)
+    instead of 24 element-gathers — light tables are tiny."""
+    from .smallgather import lookup_columns
+
+    idx = jnp.asarray(idx)
+    if idx.ndim == 0:
+        idx = idx[None]
+        squeeze = True
+    else:
+        squeeze = False
+    cols = [
+        lights.kind,
+        lights.color.x, lights.color.y, lights.color.z,
+        lights.rot.r0.x, lights.rot.r0.y, lights.rot.r0.z,
+        lights.rot.r1.x, lights.rot.r1.y, lights.rot.r1.z,
+        lights.rot.r2.x, lights.rot.r2.y, lights.rot.r2.z,
+        lights.trans.x, lights.trans.y, lights.trans.z,
+        lights.shape_kind,
+        lights.shape_param.x, lights.shape_param.y, lights.shape_param.z,
+        lights.area, lights.cos_angle, lights.is_delta, lights.is_finite,
+        lights.env_tex,
+    ]
+    r = lookup_columns(idx, cols)
+    if squeeze:
+        r = [v[0] for v in r]
     return LightSlice(
-        kind=lights.kind[idx],
-        color=_gather_vec3(lights.color, idx),
-        rot=Rot3(
-            _gather_vec3(lights.rot.r0, idx),
-            _gather_vec3(lights.rot.r1, idx),
-            _gather_vec3(lights.rot.r2, idx),
-        ),
-        trans=_gather_vec3(lights.trans, idx),
-        shape_kind=lights.shape_kind[idx],
-        shape_param=_gather_vec3(lights.shape_param, idx),
-        area=lights.area[idx],
-        cos_angle=lights.cos_angle[idx],
-        is_delta=lights.is_delta[idx],
-        is_finite=lights.is_finite[idx],
-        env_tex=lights.env_tex[idx],
+        kind=r[0],
+        color=Vec3(r[1], r[2], r[3]),
+        rot=Rot3(Vec3(r[4], r[5], r[6]), Vec3(r[7], r[8], r[9]), Vec3(r[10], r[11], r[12])),
+        trans=Vec3(r[13], r[14], r[15]),
+        shape_kind=r[16],
+        shape_param=Vec3(r[17], r[18], r[19]),
+        area=r[20],
+        cos_angle=r[21],
+        is_delta=r[22],
+        is_finite=r[23],
+        env_tex=r[24],
     )
 
 

@@ -119,29 +119,42 @@ def resolve_material(scene: SceneData, material_id, tex_u=None, tex_v=None,
     """``wavelength`` (N,) nm: spectral mode — dispersive materials get a
     Cauchy wavelength-dependent IoR (`RoughDielectricBSDF.cpp:29-44`).
     ``position`` (N,) world shading points: enables decal application."""
+    from .smallgather import lookup_columns
+
     mats: Materials = scene.materials
     idx = jnp.maximum(material_id, 0)
-    base_color = _gather_vec3(mats.base_color, idx)
-    emission = _gather_vec3(mats.emission, idx)
-    roughness = mats.roughness[idx]
-    metalness = mats.metalness[idx]
+    # every material column in ONE one-hot MXU matmul (ops/smallgather.py)
+    (bsdf_k, bc_x, bc_y, bc_z, em_x, em_y, em_z, roughness, metalness,
+     ior_c, k_c, disp_c, abbe_c, dc_c, dd_c, dua_c,
+     bct, emt, rot_, met) = lookup_columns(idx, [
+        mats.bsdf,
+        mats.base_color.x, mats.base_color.y, mats.base_color.z,
+        mats.emission.x, mats.emission.y, mats.emission.z,
+        mats.roughness, mats.metalness,
+        mats.ior, mats.k, mats.dispersive, mats.abbe,
+        mats.dispersion_c, mats.dispersion_d, mats.disp_use_abbe,
+        mats.base_color_tex, mats.emission_tex, mats.roughness_tex,
+        mats.metalness_tex,
+    ])
+    base_color = Vec3(bc_x, bc_y, bc_z)
+    emission = Vec3(em_x, em_y, em_z)
 
     if scene.textures is not None and tex_u is not None:
         from .textures import sample_texture_many
 
         base_color = base_color * sample_texture_many(
-            scene.textures, mats.base_color_tex[idx], tex_u, tex_v
+            scene.textures, bct, tex_u, tex_v
         )
         emission = emission * sample_texture_many(
-            scene.textures, mats.emission_tex[idx], tex_u, tex_v
+            scene.textures, emt, tex_u, tex_v
         )
-        rough_t = sample_texture_many(scene.textures, mats.roughness_tex[idx], tex_u, tex_v)
+        rough_t = sample_texture_many(scene.textures, rot_, tex_u, tex_v)
         roughness = roughness * rough_t.x
-        metal_t = sample_texture_many(scene.textures, mats.metalness_tex[idx], tex_u, tex_v)
+        metal_t = sample_texture_many(scene.textures, met, tex_u, tex_v)
         metalness = metalness * metal_t.x
 
-    ior = mats.ior[idx]
-    dispersive = mats.dispersive[idx]
+    ior = ior_c
+    dispersive = disp_c
     if wavelength is not None:
         from ..color.spectrum import cauchy_ior
 
@@ -150,11 +163,11 @@ def resolve_material(scene: SceneData, material_id, tex_u=None, tex_v=None,
         # abbe) form is our schema extension, selected per material
         lam_um = wavelength * 1e-3
         l2 = jnp.maximum(lam_um * lam_um, 1e-6)
-        ior_cd = ior + mats.dispersion_c[idx] / l2 + mats.dispersion_d[idx] / (l2 * l2)
-        ior_ab = cauchy_ior(ior, mats.abbe[idx], wavelength)
+        ior_cd = ior + dc_c / l2 + dd_c / (l2 * l2)
+        ior_ab = cauchy_ior(ior, abbe_c, wavelength)
         ior = jnp.where(
             dispersive,
-            jnp.where(mats.disp_use_abbe[idx], ior_ab, ior_cd),
+            jnp.where(dua_c, ior_ab, ior_cd),
             ior,
         )
 
@@ -162,12 +175,12 @@ def resolve_material(scene: SceneData, material_id, tex_u=None, tex_v=None,
         base_color, roughness = _apply_decals(scene, position, base_color, roughness)
 
     return MatParams(
-        bsdf=mats.bsdf[idx],
+        bsdf=bsdf_k,
         base_color=base_color,
         emission=emission,
         roughness=roughness,
         metalness=metalness,
         ior=ior,
-        k=mats.k[idx],
+        k=k_c,
         dispersive=dispersive,
     )
