@@ -40,6 +40,11 @@ class Hits(NamedTuple):
     # instance index for hits on instanced meshes (scene.instances);
     # -1 = baked geometry / analytic prim / miss
     inst_id: jnp.ndarray = None
+    # kernel-emitted interpolated shading frame for triangle hits (wave2
+    # closest mode): 6-tuple (nx, ny, nz, tex_u, tex_v, material_id as f32)
+    # in the MESH's space (object space for instanced hits) — consumed by
+    # `scene_hit_frame` instead of per-ray attribute gathers
+    attr: tuple = None
 
 
 def _local_ray(prim_rot: Rot3, prim_trans: Vec3, origin: Vec3, direction: Vec3):

@@ -113,27 +113,28 @@ def _cs_closest(mode, clusters, bvh, tris, origin: Vec3, direction: Vec3, t_cap)
         # diagnostics only: skip mesh traversal entirely (perf ablation)
         n = origin.x.shape
         return (jnp.full(n, BIG), jnp.full(n, -1, jnp.int32),
-                jnp.zeros(n), jnp.zeros(n), jnp.zeros(n, bool))
+                jnp.zeros(n), jnp.zeros(n), jnp.zeros(n, bool), None)
     if mode == "wave2":
         from .wave2_traverse import wave2_closest_hit
 
-        return wave2_closest_hit(*args)
+        t, tri, u, v, ovf, attr = wave2_closest_hit(*args, with_attrs=True)
+        return t, tri, u, v, ovf, attr
     if mode == "wave":
         from .wave_traverse import wave_closest_hit
 
-        return wave_closest_hit(*args)
+        return wave_closest_hit(*args) + (None,)
     if mode == "sorted-pallas":
         from .pallas_traverse import pallas_sorted_closest_hit
 
-        return pallas_sorted_closest_hit(*args)
+        return pallas_sorted_closest_hit(*args) + (None,)
     if mode == "bvh":
         from .bvh_traverse import bvh_closest_hit
 
         t_t, tid, tu, tv = bvh_closest_hit(bvh, tris, origin, direction, t_cap)
-        return t_t, tid, tu, tv, jnp.zeros(origin.x.shape, bool)
+        return t_t, tid, tu, tv, jnp.zeros(origin.x.shape, bool), None
     from .cluster_traverse import cluster_closest_hit
 
-    return cluster_closest_hit(*args)
+    return cluster_closest_hit(*args) + (None,)
 
 
 def _cs_occluded(mode, clusters, bvh, tris, origin: Vec3, direction: Vec3, t_max):
@@ -199,9 +200,13 @@ def scene_traverse(scene: SceneData, origin: Vec3, direction: Vec3, t_max=None, 
     best_v = jnp.zeros(n, jnp.float32)
     best_inst = jnp.full(n, -1, jnp.int32)
     overflow = jnp.zeros(n, bool)
+    z = jnp.zeros(n, jnp.float32)
+    best_attr = (z, z, z, z, z, z)
+    have_attr = True
 
-    def fold(t_t, tid, tu, tv, inst_id):
+    def fold(t_t, tid, tu, tv, inst_id, attr):
         nonlocal best_t, best_prim, best_tri, best_u, best_v, best_inst
+        nonlocal best_attr, have_attr
         closer = (t_t < best_t) & (tid >= 0)
         best_t = jnp.where(closer, t_t, best_t)
         best_prim = jnp.where(closer, -1, best_prim)
@@ -209,24 +214,30 @@ def scene_traverse(scene: SceneData, origin: Vec3, direction: Vec3, t_max=None, 
         best_u = jnp.where(closer, tu, best_u)
         best_v = jnp.where(closer, tv, best_v)
         best_inst = jnp.where(closer, inst_id, best_inst)
+        if attr is None or not have_attr:
+            have_attr = False
+        else:
+            best_attr = tuple(
+                jnp.where(closer, a, b) for a, b in zip(attr, best_attr)
+            )
 
     def signed(cap):
         return jnp.where(any_hit, -cap, cap) if any_hit is not None else cap
 
     if scene.tris is not None and scene.clusters is not None:
-        t_t, tid, tu, tv, ovf = _cs_closest(
+        t_t, tid, tu, tv, ovf, attr = _cs_closest(
             mode, scene.clusters, scene.bvh, scene.tris, origin, direction,
             signed(jnp.minimum(t_p, t_max)),
         )
         overflow = overflow | ovf
-        fold(t_t, tid, tu, tv, -1)
+        fold(t_t, tid, tu, tv, -1, attr)
     elif scene.tris is not None and scene.bvh is not None:
         from .bvh_traverse import bvh_closest_hit
 
         t_t, tid, tu, tv = bvh_closest_hit(
             scene.bvh, scene.tris, origin, direction, jnp.minimum(t_p, t_max)
         )
-        fold(t_t, tid, tu, tv, -1)
+        fold(t_t, tid, tu, tv, -1, None)
 
     if scene.instances is not None:
         # two-level traversal: ray -> instance space, shared mesh geometry
@@ -236,15 +247,19 @@ def scene_traverse(scene: SceneData, origin: Vec3, direction: Vec3, t_max=None, 
         for i, mid in enumerate(scene.instances.mesh_ids):
             geom = scene.mesh_geoms[mid]
             o_l, d_l = _instance_local_ray(scene, i, origin, direction, time)
-            t_t, tid, tu, tv, ovf = _cs_closest(
+            t_t, tid, tu, tv, ovf, attr = _cs_closest(
                 inst_mode, geom.clusters, None, geom.tris, o_l, d_l, signed(best_t)
             )
             overflow = overflow | ovf
-            fold(t_t, tid, tu, tv, i)
+            fold(t_t, tid, tu, tv, i, attr)
 
+    has_mesh = (scene.tris is not None and scene.clusters is not None) or (
+        scene.instances is not None
+    )
     return Hits(
         t=best_t, prim_id=best_prim, tri_id=best_tri, u=best_u, v=best_v,
         overflow=overflow, inst_id=best_inst,
+        attr=best_attr if (have_attr and has_mesh) else None,
     )
 
 
@@ -314,8 +329,49 @@ def scene_hit_frame(scene: SceneData, hits: Hits, origin: Vec3, direction: Vec3,
     from .intersect import eval_prim_frame
 
     frame = eval_prim_frame(scene.prims, hits.prim_id, origin, direction, hits.t, time=time)
+    import os as _os
+
+    if _os.environ.get("RT_SKIP_TRI_FRAME"):  # perf-ablation diagnostics only
+        return frame
     is_tri = hits.tri_id >= 0
     inst = hits.inst_id if hits.inst_id is not None else jnp.full(origin.x.shape, -1, jnp.int32)
+
+    if hits.attr is not None:
+        # fast path: the traversal kernel already emitted the winner's
+        # interpolated shading frame (normal / texcoord / material) from its
+        # VMEM-resident geometry block — zero per-ray attribute gathers
+        # (`MeshShape::EvaluateIntersection` fused into traversal; measured
+        # ~0.4 s/pass of gathers eliminated at 512^2, docs/perf_notes.md)
+        from ..integrators.path_tracer import _merge_frames
+        from ..math.sampling import build_onb
+        from ..math.vec import normalize
+        from ..scene.types import Rot3
+        from .intersect import PrimFrame
+
+        nx, ny, nz, tu, tv, matf = hits.attr
+        nrm = Vec3(nx, ny, nz)
+        if scene.instances is not None:
+            ii = scene.instances
+            for i in range(len(ii.mesh_ids)):
+                at = lambda v: Vec3(v.x[i], v.y[i], v.z[i])
+                rot = Rot3(at(ii.rot.r0), at(ii.rot.r1), at(ii.rot.r2))
+                from ..math.vec import where as vwhere
+
+                nrm = vwhere(inst == i, rot.to_world(nrm), nrm)
+        normal = normalize(nrm, eps=1e-20)
+        tangent, bitangent = build_onb(normal)
+        tri_frame = PrimFrame(
+            position=origin + direction * jnp.clip(hits.t, 0.0, 1e12),
+            normal=normal,
+            tangent=tangent,
+            bitangent=bitangent,
+            tex_u=tu,
+            tex_v=tv,
+            material_id=matf.astype(jnp.int32),
+            light_id=jnp.full_like(hits.tri_id, -1),
+        )
+        return _merge_frames(is_tri, tri_frame, frame)
+
     if scene.tris is not None:
         from ..integrators.path_tracer import _merge_frames
 

@@ -202,16 +202,17 @@ def _mt_kernel(
     # scalar prefetch
     c_tab,  # (B,) int32 super id per 1024-pair chunk (Cs = sentinel/skip)
     # pipelined tensor operands (BlockSpec-selected per chunk)
-    geom_ref,  # (1, 8K, 16) component-major geometry: tris on SUBLANES,
-    # lanes [v0.xyz, e1.xyz, e2.xyz, tri_id, pad]; rows [s*K,(s+1)*K) = sub s
+    geom_ref,  # (1, 8K, 32) component-major geometry: tris on SUBLANES,
+    # lanes [v0.xyz, e1.xyz, e2.xyz, tri_id, n0/n1/n2, uv0/uv1/uv2, mat];
+    # rows [s*K,(s+1)*K) = sub s
     sbox_ref,  # (1, 8, 8) sub boxes, lanes [min.xyz, max.xyz, 0, 0]
     ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tl_ref,  # (1, 8, 128)
     # outputs (1, 8, 128) — each chunk owns exactly one grid step (runs are
-    # filler-padded to chunk multiples), so no revisiting and no read-back
-    t_out, tri_out, u_out, v_out, done_out,
-    # scratch: per-ray-row running best in tri-sublane space
-    bt_ref, btid_ref, bu_ref, bv_ref,  # VMEM (8, 128) f32
-    *,
+    # filler-padded to chunk multiples), so no revisiting and no read-back:
+    # [t, tri, u, v, done] + (closest mode) [nx, ny, nz, tu, tv, mat]
+    # then scratch: per-ray-row running best in tri-sublane space,
+    # VMEM (8, 128) f32 x (4 or 10)
+    *refs,
     k: int,
     cs: int,
     any_hit: bool,
@@ -221,7 +222,21 @@ def _mt_kernel(
     of the component-major geometry block; ray components are (1, 128) lane
     rows of the pair payload — both broadcast for free, so the inner loop has
     ZERO scalar VMEM reads (the round-3 kernel read geometry scalar-by-scalar
-    at ~70 ns each and was wholly read-bound, docs/perf_notes.md)."""
+    at ~70 ns each and was wholly read-bound, docs/perf_notes.md).
+
+    Closest mode also EMITS the winner's interpolated shading frame (normal,
+    texcoord, material id) straight from VMEM — the TPU answer to
+    `MeshShape::EvaluateIntersection` (`MeshShape.cpp:283-328`): per-ray
+    attribute gathers after the fact measured ~0.4 s/pass at 512^2."""
+    attrs = not any_hit
+    if attrs:
+        (t_out, tri_out, u_out, v_out, done_out,
+         nx_out, ny_out, nz_out, tu_out, tv_out, mat_out,
+         bt_ref, btid_ref, bu_ref, bv_ref,
+         bnx_ref, bny_ref, bnz_ref, btu_ref, btv_ref, bmat_ref) = refs
+    else:
+        (t_out, tri_out, u_out, v_out, done_out,
+         bt_ref, btid_ref, bu_ref, bv_ref) = refs
     b = pl.program_id(0)
     live = c_tab[b] < cs
 
@@ -245,6 +260,14 @@ def _mt_kernel(
     u_out[0] = jnp.zeros(tl.shape, jnp.float32)
     v_out[0] = jnp.zeros(tl.shape, jnp.float32)
     done_out[0] = jnp.where(live, mask.astype(jnp.int32), 0)
+    if attrs:
+        z = jnp.zeros(tl.shape, jnp.float32)
+        nx_out[0] = z
+        ny_out[0] = z
+        nz_out[0] = z
+        tu_out[0] = z
+        tv_out[0] = z
+        mat_out[0] = z
 
     tiny = 1e-12
     inv = lambda d: 1.0 / jnp.where(jnp.abs(d) > tiny, d, jnp.where(d >= 0, tiny, -tiny))
@@ -289,6 +312,14 @@ def _mt_kernel(
             btid_ref[:] = jnp.full((8, 128), -1.0, jnp.float32)
             bu_ref[:] = jnp.zeros((8, 128), jnp.float32)
             bv_ref[:] = jnp.zeros((8, 128), jnp.float32)
+            if attrs:
+                zz = jnp.zeros((8, 128), jnp.float32)
+                bnx_ref[:] = zz
+                bny_ref[:] = zz
+                bnz_ref[:] = zz
+                btu_ref[:] = zz
+                btv_ref[:] = zz
+                bmat_ref[:] = zz
 
             for s in range(SUB_PER_SUPER):
 
@@ -298,6 +329,9 @@ def _mt_kernel(
                     btid = btid_ref[:]
                     bu = bu_ref[:]
                     bv = bv_ref[:]
+                    if attrs:
+                        bnx, bny, bnz = bnx_ref[:], bny_ref[:], bnz_ref[:]
+                        btu, btv, bmat = btu_ref[:], btv_ref[:], bmat_ref[:]
                     for g in range(groups):
                         rows = slice((s * k + g * 8), (s * k + g * 8 + 8))
                         col = lambda c: geom[rows, c : c + 1]  # (8, 1)
@@ -337,10 +371,37 @@ def _mt_kernel(
                             btid = jnp.where(hit, tid, btid)
                             bu = jnp.where(hit, uu, bu)
                             bv = jnp.where(hit, vv, bv)
+                        if attrs:
+                            # interpolated shading frame of the (current)
+                            # winner, straight from the geometry block
+                            ww = 1.0 - uu - vv
+                            bnx = jnp.where(
+                                hit, col(10) * ww + col(13) * uu + col(16) * vv, bnx
+                            )
+                            bny = jnp.where(
+                                hit, col(11) * ww + col(14) * uu + col(17) * vv, bny
+                            )
+                            bnz = jnp.where(
+                                hit, col(12) * ww + col(15) * uu + col(18) * vv, bnz
+                            )
+                            btu = jnp.where(
+                                hit, col(19) * ww + col(21) * uu + col(23) * vv, btu
+                            )
+                            btv = jnp.where(
+                                hit, col(20) * ww + col(22) * uu + col(24) * vv, btv
+                            )
+                            bmat = jnp.where(hit, col(25), bmat)
                     bt_ref[:] = bt
                     btid_ref[:] = btid
                     bu_ref[:] = bu
                     bv_ref[:] = bv
+                    if attrs:
+                        bnx_ref[:] = bnx
+                        bny_ref[:] = bny
+                        bnz_ref[:] = bnz
+                        btu_ref[:] = btu
+                        btv_ref[:] = btv
+                        bmat_ref[:] = bmat
 
             # fold the 8 sublane slots into this row's final hit: min t,
             # ties by lowest tri id (matches the host-side winner select)
@@ -358,6 +419,18 @@ def _mt_kernel(
             tri_out[0, ro] = jnp.where(any_row, tid_row, -1.0).astype(jnp.int32)
             u_out[0, ro] = jnp.where(any_row, u_row, 0.0)
             v_out[0, ro] = jnp.where(any_row, v_row, 0.0)
+            if attrs:
+                sel = lambda ref: jnp.where(
+                    any_row,
+                    jnp.max(jnp.where(w, ref[:], -BIGF), axis=0, keepdims=True),
+                    0.0,
+                )
+                nx_out[0, ro] = sel(bnx_ref)
+                ny_out[0, ro] = sel(bny_ref)
+                nz_out[0, ro] = sel(bnz_ref)
+                tu_out[0, ro] = sel(btu_ref)
+                tv_out[0, ro] = sel(btv_ref)
+                mat_out[0, ro] = sel(bmat_ref)
 
 
 def _searchsorted(sorted_arr, queries):
@@ -368,7 +441,9 @@ def _searchsorted(sorted_arr, queries):
 def _round(cs_set: ClusterSet, ox, oy, oz, dx, dy, dz, tl, cursor, kc: int, bps: int, any_hit: bool):
     """One full extraction + join + MT round on a padded (Npad,) wavefront.
 
-    Returns (t, tri, u, v, new_cursor, unresolved) — t == tl where no hit.
+    Returns (t, tri, u, v, attrs, new_cursor, unresolved) — t == |tl| where
+    no hit; ``attrs`` = 6-tuple of interpolated shading channels (closest
+    mode) or () (static any-hit mode).
     """
     n = ox.shape[0]
     cs = cs_set.num_supers
@@ -496,8 +571,9 @@ def _round(cs_set: ClusterSet, ox, oy, oz, dx, dy, dz, tl, cursor, kc: int, bps:
     chunked = lambda x: x.reshape(b2, 8, 128)
     k = cs_set.tris_per_cluster
     n_supers = cs  # OOB block indices fault the TPU: clamp defensively
+    attrs = not any_hit
     geom_spec = pl.BlockSpec(
-        (1, SUB_PER_SUPER * k, 16),
+        (1, SUB_PER_SUPER * k, 32),
         lambda i, c: (jnp.clip(c[i], 0, n_supers - 1), 0, 0),
         memory_space=pltpu.VMEM,
     )
@@ -509,21 +585,18 @@ def _round(cs_set: ClusterSet, ox, oy, oz, dx, dy, dz, tl, cursor, kc: int, bps:
     pair_spec = pl.BlockSpec(
         (1, 8, 128), lambda i, c: (i, 0, 0), memory_space=pltpu.VMEM
     )
+    n_out = 11 if attrs else 5
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(b2,),
         in_specs=[geom_spec, sbox_spec] + [pair_spec] * 7,
-        out_specs=[pair_spec] * 5,
-        scratch_shapes=[pltpu.VMEM((8, 128), jnp.float32)] * 4,
+        out_specs=[pair_spec] * n_out,
+        scratch_shapes=[pltpu.VMEM((8, 128), jnp.float32)] * (10 if attrs else 4),
     )
-    out_shape = [
-        jax.ShapeDtypeStruct((b2, 8, 128), jnp.float32),
-        jax.ShapeDtypeStruct((b2, 8, 128), jnp.int32),
-        jax.ShapeDtypeStruct((b2, 8, 128), jnp.float32),
-        jax.ShapeDtypeStruct((b2, 8, 128), jnp.float32),
-        jax.ShapeDtypeStruct((b2, 8, 128), jnp.int32),
-    ]
-    t_s, tri_s, u_s, v_s, done_s = pl.pallas_call(
+    f32s = jax.ShapeDtypeStruct((b2, 8, 128), jnp.float32)
+    i32s = jax.ShapeDtypeStruct((b2, 8, 128), jnp.int32)
+    out_shape = [f32s, i32s, f32s, f32s, i32s] + ([f32s] * 6 if attrs else [])
+    outs = pl.pallas_call(
         functools.partial(_mt_kernel, k=k, cs=cs, any_hit=any_hit),
         grid_spec=grid_spec,
         out_shape=out_shape,
@@ -535,17 +608,21 @@ def _round(cs_set: ClusterSet, ox, oy, oz, dx, dy, dz, tl, cursor, kc: int, bps:
         chunked(fox), chunked(foy), chunked(foz),
         chunked(fdx), chunked(fdy), chunked(fdz), chunked(ftl),
     )
+    t_s, tri_s, u_s, v_s, done_s = outs[:5]
+    attr_s = outs[5:]
 
     # back to ray-major pair order (fillers carry idx >= p_pad -> tail)
     sort3_in = jax.lax.optimization_barrier(
         [fidx, t_s.reshape(d_len), tri_s.reshape(d_len), u_s.reshape(d_len),
          v_s.reshape(d_len), done_s.reshape(d_len)]
+        + [a.reshape(d_len) for a in attr_s]
     )
-    _, t_p, tri_p, u_p, v_p, done_p = jax.lax.optimization_barrier(
-        jax.lax.sort(sort3_in, num_keys=1)
-    )
+    sorted3 = jax.lax.optimization_barrier(jax.lax.sort(sort3_in, num_keys=1))
+    _, t_p, tri_p, u_p, v_p, done_p = sorted3[:6]
+    attr_p = sorted3[6:]
     shp = lambda x: x[:p].reshape(n, kc)
     t_p, tri_p, u_p, v_p, done_p = shp(t_p), shp(tri_p), shp(u_p), shp(v_p), shp(done_p)
+    attr_p = [shp(a) for a in attr_p]
 
     slot_valid = cand < cs
     hit = slot_valid & (done_p > 0) & (tri_p >= 0)
@@ -565,6 +642,10 @@ def _round(cs_set: ClusterSet, ox, oy, oz, dx, dy, dz, tl, cursor, kc: int, bps:
     best_u = jnp.where(got_hit, best_u, 0.0)
     best_v = jnp.where(got_hit, best_v, 0.0)
     t_round = jnp.where(got_hit, best_t, tl_abs)
+    best_attr = tuple(
+        jnp.where(got_hit, jnp.max(jnp.where(final, a, -jnp.inf), axis=1), 0.0)
+        for a in attr_p
+    )
 
     unproc = slot_valid & (done_p == 0)
     any_unproc = jnp.any(unproc, axis=1)
@@ -577,7 +658,7 @@ def _round(cs_set: ClusterSet, ox, oy, oz, dx, dy, dz, tl, cursor, kc: int, bps:
     if any_hit:
         unresolved = unresolved & (best_tri < 0)
     unresolved = unresolved & ~(ah_ray & (best_tri >= 0))
-    return t_round, best_tri, best_u, best_v, new_cursor, unresolved
+    return t_round, best_tri, best_u, best_v, best_attr, new_cursor, unresolved
 
 
 # --------------------------------------------------------------------------
@@ -594,7 +675,7 @@ def _window_trace(cs_set: ClusterSet, ox, oy, oz, dx, dy, dz, tm, kc: int, any_h
     n = ox.shape[0]
     cursor0 = jnp.full(n, -1, jnp.int32)
     bps = max(1, min(32, (n * kc) // CHUNK))
-    t1, tri1, u1, v1, cur1, unres1 = _round(
+    t1, tri1, u1, v1, attr1, cur1, unres1 = _round(
         cs_set, ox, oy, oz, dx, dy, dz, tm, cursor0, kc, bps, any_hit
     )
 
@@ -602,11 +683,10 @@ def _window_trace(cs_set: ClusterSet, ox, oy, oz, dx, dy, dz, tm, kc: int, any_h
     bps_sub = max(1, min(32, (nsub * kc) // CHUNK))
 
     def cond(st):
-        i, _t, _tri, _u, _v, _cur, unres = st
-        return (i < max_iters) & jnp.any(unres)
+        return (st[0] < max_iters) & jnp.any(st[-1])
 
     def body(st):
-        i, t, tri, u, v, cur, unres = st
+        i, t, tri, u, v, attr, cur, unres = st
         # compact up to nsub unresolved rays (ascending index, stable)
         sel = jax.lax.sort(
             [(~unres).astype(jnp.int32), jnp.arange(n, dtype=jnp.int32)], num_keys=1
@@ -615,7 +695,7 @@ def _window_trace(cs_set: ClusterSet, ox, oy, oz, dx, dy, dz, tm, kc: int, any_h
         g = lambda a: a[sel]
         ah_sel = g(tm) < 0.0
         cap = jnp.where(live, jnp.where(ah_sel, -g(t), g(t)), 0.0)
-        t_r, tri_r, u_r, v_r, cur_r, unres_r = _round(
+        t_r, tri_r, u_r, v_r, attr_r, cur_r, unres_r = _round(
             cs_set, g(ox), g(oy), g(oz), g(dx), g(dy), g(dz),
             cap, g(cur), kc, bps_sub, any_hit,
         )
@@ -625,14 +705,18 @@ def _window_trace(cs_set: ClusterSet, ox, oy, oz, dx, dy, dz, tm, kc: int, any_h
         tri = tri.at[wi].set(jnp.where(improved, tri_r, tri[sel]), mode="drop")
         u = u.at[wi].set(jnp.where(improved, u_r, u[sel]), mode="drop")
         v = v.at[wi].set(jnp.where(improved, v_r, v[sel]), mode="drop")
+        attr = tuple(
+            a.at[wi].set(jnp.where(improved, ar, a[sel]), mode="drop")
+            for a, ar in zip(attr, attr_r)
+        )
         cur = cur.at[wi].set(cur_r, mode="drop")
         unres = unres.at[wi].set(live & unres_r, mode="drop")
-        return (i + 1, t, tri, u, v, cur, unres)
+        return (i + 1, t, tri, u, v, attr, cur, unres)
 
-    _, t, tri, u, v, _, unres = jax.lax.while_loop(
-        cond, body, (jnp.int32(0), t1, tri1, u1, v1, cur1, unres1)
+    _, t, tri, u, v, attr, _, unres = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), t1, tri1, u1, v1, attr1, cur1, unres1)
     )
-    return t, tri, u, v, unres
+    return t, tri, u, v, attr, unres
 
 
 @functools.partial(jax.jit, static_argnames=("kc", "any_hit", "max_iters"))
@@ -670,30 +754,39 @@ def _wave2_trace(cs_set: ClusterSet, ox, oy, oz, dx, dy, dz, tm, kc: int, any_hi
     tri0 = jnp.full(n, -1, jnp.int32)
     z = jnp.zeros(n, jnp.float32)
     ovf0 = jnp.zeros(n, bool)
+    n_attr = 0 if any_hit else 6
+    attr0 = tuple(z for _ in range(n_attr))
 
     def cond(st):
         return st[0] < n_sub
 
     def body(st):
-        i, t, tri, u, v, ovf = st
+        i, t, tri, u, v, attr, ovf = st
         off = i * s
         sl = lambda a: jax.lax.dynamic_slice(a, (off,), (s,))
-        tw, triw, uw, vw, ovfw = _window_trace(
+        tw, triw, uw, vw, attrw, ovfw = _window_trace(
             cs_set, sl(cox), sl(coy), sl(coz), sl(cdx), sl(cdy), sl(cdz),
             sl(ctm), kc, any_hit, max_iters,
         )
         upd = lambda a, w: jax.lax.dynamic_update_slice(a, w, (off,))
-        return (i + 1, upd(t, tw), upd(tri, triw), upd(u, uw), upd(v, vw), upd(ovf, ovfw))
+        return (
+            i + 1, upd(t, tw), upd(tri, triw), upd(u, uw), upd(v, vw),
+            tuple(upd(a, aw) for a, aw in zip(attr, attrw)), upd(ovf, ovfw),
+        )
 
-    _, t, tri, u, v, ovf = jax.lax.while_loop(
-        cond, body, (jnp.int32(0), t0, tri0, z, z, ovf0)
+    _, t, tri, u, v, attr, ovf = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), t0, tri0, z, z, attr0, ovf0)
     )
 
     # back to caller order (results ride the unsort)
-    _, t, tri, u, v, ovf = jax.lax.optimization_barrier(
-        jax.lax.sort([ridx, t, tri, u, v, ovf.astype(jnp.int32)], num_keys=1)
+    sorted_back = jax.lax.optimization_barrier(
+        jax.lax.sort(
+            [ridx, t, tri, u, v, ovf.astype(jnp.int32)] + list(attr), num_keys=1
+        )
     )
-    return t[:n0], tri[:n0], u[:n0], v[:n0], (ovf > 0)[:n0]
+    _, t, tri, u, v, ovf = sorted_back[:6]
+    attr = tuple(a[:n0] for a in sorted_back[6:])
+    return t[:n0], tri[:n0], u[:n0], v[:n0], attr, (ovf > 0)[:n0]
 
 
 import os
@@ -701,19 +794,26 @@ import os
 _KC_DEFAULT = int(os.environ.get("RT_WAVE2_KC", "16"))  # perf-tuning knob
 
 
-def wave2_closest_hit(cs: ClusterSet, origin: Vec3, direction: Vec3, t_max, kc: int = None, max_iters: int = 64):
+def wave2_closest_hit(cs: ClusterSet, origin: Vec3, direction: Vec3, t_max, kc: int = None, max_iters: int = 64, with_attrs: bool = False):
     """Closest hit. Returns (t, tri_id, u, v, overflow) — exact; overflow
     only marks rays still unresolved after ``max_iters`` continuation
-    sub-rounds (practically unreachable)."""
+    sub-rounds (practically unreachable).
+
+    ``with_attrs=True`` additionally returns the winner's interpolated
+    shading frame as a 6-tuple (nx, ny, nz, tex_u, tex_v, material_id_f32)
+    emitted by the kernel from the geometry block (no per-ray gathers)."""
     cs, origin, direction, t_max = jax.lax.stop_gradient((cs, origin, direction, t_max))
     tm = jnp.asarray(t_max) * jnp.ones(origin.x.shape, jnp.float32)
     kc = min(kc or _KC_DEFAULT, cs.num_supers)
-    t, tri, u, v, overflow = _wave2_trace(
+    t, tri, u, v, attr, overflow = _wave2_trace(
         cs, origin.x, origin.y, origin.z, direction.x, direction.y, direction.z,
         tm, kc, False, max_iters,
     )
     missed = tri < 0
-    return jnp.where(missed, BIG, t), tri, u, v, overflow
+    t = jnp.where(missed, BIG, t)
+    if with_attrs:
+        return t, tri, u, v, overflow, attr
+    return t, tri, u, v, overflow
 
 
 def wave2_any_hit(cs: ClusterSet, origin: Vec3, direction: Vec3, t_max, kc: int = None, max_iters: int = 64):
@@ -721,7 +821,7 @@ def wave2_any_hit(cs: ClusterSet, origin: Vec3, direction: Vec3, t_max, kc: int 
     cs, origin, direction, t_max = jax.lax.stop_gradient((cs, origin, direction, t_max))
     tm = jnp.asarray(t_max) * jnp.ones(origin.x.shape, jnp.float32)
     kc = min(kc or _KC_DEFAULT, cs.num_supers)
-    t, tri, _, _, overflow = _wave2_trace(
+    t, tri, _, _, _, overflow = _wave2_trace(
         cs, origin.x, origin.y, origin.z, direction.x, direction.y, direction.z,
         tm, kc, True, max_iters,
     )

@@ -117,6 +117,20 @@ def _rot3(transforms: list[RigidTransform]) -> T.Rot3:
     return T.Rot3(mk(0), mk(1), mk(2))
 
 
+
+def _tris_attr_arrays(tris, _np):
+    """(T,3,3) normals / (T,3,2) uvs / (T,) material ids from a Triangles."""
+    nv = lambda v: _np.stack([_np.asarray(v.x), _np.asarray(v.y), _np.asarray(v.z)], -1)
+    normals = _np.stack([nv(tris.n0), nv(tris.n1), nv(tris.n2)], axis=1)
+    uvs = _np.stack(
+        [_np.stack([_np.asarray(tris.uv0_u), _np.asarray(tris.uv0_v)], -1),
+         _np.stack([_np.asarray(tris.uv1_u), _np.asarray(tris.uv1_v)], -1),
+         _np.stack([_np.asarray(tris.uv2_u), _np.asarray(tris.uv2_v)], -1)],
+        axis=1,
+    )
+    return normals, uvs, _np.asarray(tris.material_id)
+
+
 class SceneBuilder:
     """Accumulates scene content then freezes to a SceneData pytree."""
 
@@ -282,7 +296,8 @@ class SceneBuilder:
             v0 = _np.stack([_np.asarray(tris.v0.x), _np.asarray(tris.v0.y), _np.asarray(tris.v0.z)], -1)
             e1 = _np.stack([_np.asarray(tris.e1.x), _np.asarray(tris.e1.y), _np.asarray(tris.e1.z)], -1)
             e2 = _np.stack([_np.asarray(tris.e2.x), _np.asarray(tris.e2.y), _np.asarray(tris.e2.z)], -1)
-            clusters = build_clusters(v0, e1, e2)
+            nrm, uv, mid = _tris_attr_arrays(tris, _np)
+            clusters = build_clusters(v0, e1, e2, normals=nrm, uvs=uv, material_ids=mid)
         mesh_geoms, instances = self._build_instances()
         scene = T.SceneData(prims=prims, tris=tris, bvh=bvh, materials=materials,
                             lights=lights, textures=self.textures, clusters=clusters,
@@ -450,7 +465,9 @@ class SceneBuilder:
             v0 = _np.stack([_np.asarray(tris.v0.x), _np.asarray(tris.v0.y), _np.asarray(tris.v0.z)], -1)
             e1 = _np.stack([_np.asarray(tris.e1.x), _np.asarray(tris.e1.y), _np.asarray(tris.e1.z)], -1)
             e2 = _np.stack([_np.asarray(tris.e2.x), _np.asarray(tris.e2.y), _np.asarray(tris.e2.z)], -1)
-            geoms.append(T.MeshGeom(tris=tris, clusters=build_clusters(v0, e1, e2)))
+            nrm, uv, mid = _tris_attr_arrays(tris, _np)
+            geoms.append(T.MeshGeom(tris=tris, clusters=build_clusters(
+                v0, e1, e2, normals=nrm, uvs=uv, material_ids=mid)))
 
         insts = self._mesh_instances
         instances = T.Instances(

@@ -86,3 +86,16 @@ def full_trace(ox):
     return w2._wave2_trace(cs, ox, o.y, o.z, d.x, d.y, d.z, tm, KC, False, 64)
 
 timed(full_trace, "full _wave2_trace (kc=16)", r1=2, r2=6, outer=3)
+
+def full_trace8(ox):
+    return w2._wave2_trace(cs, ox, o.y, o.z, d.x, d.y, d.z, tm, 8, False, 64)
+
+timed(full_trace8, "full _wave2_trace (kc=8)", r1=2, r2=6, outer=3)
+
+# shadow-like: 25% occluded at t_max 4, anyhit-encoded
+tm_sh = jnp.full(N, -4.0)
+
+def full_trace_ah(ox):
+    return w2._wave2_trace(cs, ox, o.y, o.z, d.x, d.y, d.z, tm_sh, 16, False, 64)
+
+timed(full_trace_ah, "full _wave2_trace anyhit-lanes", r1=2, r2=6, outer=3)
