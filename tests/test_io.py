@@ -147,11 +147,12 @@ class TestTextures:
         tid = b.add_bitmap(img)
         atlas = b.build()
         ids = jnp.zeros(1, jnp.int32) + tid
-        # sample exactly at texel (0,0) center -> pure white
-        c = sample_texture_many(atlas, ids, jnp.asarray([0.25]), jnp.asarray([0.25]))
+        # reference texel-CORNER convention (`BitmapTexture.cpp:47-72`):
+        # texel0 = floor(u*W), weight = frac — u=v=0 lands exactly on (0,0)
+        c = sample_texture_many(atlas, ids, jnp.asarray([0.0]), jnp.asarray([0.0]))
         np.testing.assert_allclose(float(c.x[0]), 1.0, atol=1e-6)
-        # midpoint between all four texels -> average 0.25
-        c2 = sample_texture_many(atlas, ids, jnp.asarray([0.5]), jnp.asarray([0.5]))
+        # u=v=0.25 -> uu=vv=0.5 -> equal blend of all four texels = 0.25
+        c2 = sample_texture_many(atlas, ids, jnp.asarray([0.25]), jnp.asarray([0.25]))
         np.testing.assert_allclose(float(c2.x[0]), 0.25, atol=1e-6)
 
     def test_mix(self):
