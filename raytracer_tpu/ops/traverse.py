@@ -120,9 +120,11 @@ def _cs_closest(mode, clusters, bvh, tris, origin: Vec3, direction: Vec3, t_cap)
         t, tri, u, v, ovf, attr = wave2_closest_hit(*args, with_attrs=True)
         return t, tri, u, v, ovf, attr
     if mode == "wave":
+        from .wave2_traverse import interp_tri_attr
         from .wave_traverse import wave_closest_hit
 
-        return wave_closest_hit(*args) + (None,)
+        t, tri, u, v, ovf = wave_closest_hit(*args)
+        return t, tri, u, v, ovf, interp_tri_attr(clusters, tri, u, v)
     if mode == "sorted-pallas":
         from .pallas_traverse import pallas_sorted_closest_hit
 

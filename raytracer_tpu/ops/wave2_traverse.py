@@ -216,6 +216,7 @@ def _mt_kernel(
     k: int,
     cs: int,
     any_hit: bool,
+    emit_attrs: bool = False,
 ):
     """Fully vectorized Möller-Trumbore: every op is an (8, 128) VPU tile of
     (8 triangles × 128 rays).  Triangle components are (8, 1) sublane columns
@@ -227,8 +228,12 @@ def _mt_kernel(
     Closest mode also EMITS the winner's interpolated shading frame (normal,
     texcoord, material id) straight from VMEM — the TPU answer to
     `MeshShape::EvaluateIntersection` (`MeshShape.cpp:283-328`): per-ray
-    attribute gathers after the fact measured ~0.4 s/pass at 512^2."""
-    attrs = not any_hit
+    attribute gathers after the fact measured ~0.4 s/pass at 512^2.
+
+    ``emit_attrs`` is OFF in production: riding the 6 attr channels through
+    the downstream sorts measured ~430 ms/pass at 512^2 — the winner's frame
+    is instead one row-gather from ``ClusterSet.tri_attr`` after the trace."""
+    attrs = emit_attrs and not any_hit
     if attrs:
         (t_out, tri_out, u_out, v_out, done_out,
          nx_out, ny_out, nz_out, tu_out, tv_out, mat_out,
@@ -571,7 +576,7 @@ def _round(cs_set: ClusterSet, ox, oy, oz, dx, dy, dz, tl, cursor, kc: int, bps:
     chunked = lambda x: x.reshape(b2, 8, 128)
     k = cs_set.tris_per_cluster
     n_supers = cs  # OOB block indices fault the TPU: clamp defensively
-    attrs = not any_hit
+    attrs = False  # frame comes from tri_attr post-trace (wave2_closest_hit)
     geom_spec = pl.BlockSpec(
         (1, SUB_PER_SUPER * k, 32),
         lambda i, c: (jnp.clip(c[i], 0, n_supers - 1), 0, 0),
@@ -597,7 +602,7 @@ def _round(cs_set: ClusterSet, ox, oy, oz, dx, dy, dz, tl, cursor, kc: int, bps:
     i32s = jax.ShapeDtypeStruct((b2, 8, 128), jnp.int32)
     out_shape = [f32s, i32s, f32s, f32s, i32s] + ([f32s] * 6 if attrs else [])
     outs = pl.pallas_call(
-        functools.partial(_mt_kernel, k=k, cs=cs, any_hit=any_hit),
+        functools.partial(_mt_kernel, k=k, cs=cs, any_hit=any_hit, emit_attrs=attrs),
         grid_spec=grid_spec,
         out_shape=out_shape,
         interpret=_interpret(),
@@ -754,8 +759,7 @@ def _wave2_trace(cs_set: ClusterSet, ox, oy, oz, dx, dy, dz, tm, kc: int, any_hi
     tri0 = jnp.full(n, -1, jnp.int32)
     z = jnp.zeros(n, jnp.float32)
     ovf0 = jnp.zeros(n, bool)
-    n_attr = 0 if any_hit else 6
-    attr0 = tuple(z for _ in range(n_attr))
+    attr0 = ()  # attrs reconstructed from tri_attr post-trace; nothing rides
 
     def cond(st):
         return st[0] < n_sub
@@ -800,20 +804,41 @@ def wave2_closest_hit(cs: ClusterSet, origin: Vec3, direction: Vec3, t_max, kc: 
     sub-rounds (practically unreachable).
 
     ``with_attrs=True`` additionally returns the winner's interpolated
-    shading frame as a 6-tuple (nx, ny, nz, tex_u, tex_v, material_id_f32)
-    emitted by the kernel from the geometry block (no per-ray gathers)."""
+    shading frame as a 6-tuple (nx, ny, nz, tex_u, tex_v, material_id_f32):
+    ONE (N, 16) row-gather from ``ClusterSet.tri_attr`` + barycentric lerp
+    (~1.5 ms per 262k-ray wavefront).  The kernel can also emit these from
+    VMEM (``emit_attrs``) but riding 6 extra channels through the sort-join
+    measured ~430 ms/pass at 512^2, so the table gather wins decisively."""
     cs, origin, direction, t_max = jax.lax.stop_gradient((cs, origin, direction, t_max))
     tm = jnp.asarray(t_max) * jnp.ones(origin.x.shape, jnp.float32)
     kc = min(kc or _KC_DEFAULT, cs.num_supers)
-    t, tri, u, v, attr, overflow = _wave2_trace(
+    t, tri, u, v, _, overflow = _wave2_trace(
         cs, origin.x, origin.y, origin.z, direction.x, direction.y, direction.z,
         tm, kc, False, max_iters,
     )
     missed = tri < 0
     t = jnp.where(missed, BIG, t)
     if with_attrs:
-        return t, tri, u, v, overflow, attr
+        return t, tri, u, v, overflow, interp_tri_attr(cs, tri, u, v)
     return t, tri, u, v, overflow
+
+
+def interp_tri_attr(cs: ClusterSet, tri, u, v):
+    """Winner shading frame from the (T, 16) input-order attribute table:
+    one row-gather + barycentric interpolation (`MeshShape.cpp:283-328`
+    semantics).  Returns (nx, ny, nz, tex_u, tex_v, material_id_f32);
+    miss lanes (tri < 0) return zeros."""
+    if cs.tri_attr is None:
+        return None
+    a = cs.tri_attr[jnp.clip(tri, 0, cs.tri_attr.shape[0] - 1)]  # (N, 16)
+    w = 1.0 - u - v
+    nx = a[:, 0] * w + a[:, 3] * u + a[:, 6] * v
+    ny = a[:, 1] * w + a[:, 4] * u + a[:, 7] * v
+    nz = a[:, 2] * w + a[:, 5] * u + a[:, 8] * v
+    tu = a[:, 9] * w + a[:, 11] * u + a[:, 13] * v
+    tv = a[:, 10] * w + a[:, 12] * u + a[:, 14] * v
+    hit = (tri >= 0).astype(jnp.float32)
+    return (nx * hit, ny * hit, nz * hit, tu * hit, tv * hit, a[:, 15] * hit)
 
 
 def wave2_any_hit(cs: ClusterSet, origin: Vec3, direction: Vec3, t_max, kc: int = None, max_iters: int = 64):

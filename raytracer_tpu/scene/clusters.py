@@ -65,6 +65,13 @@ class ClusterSet(NamedTuple):
     # (Cs, 8, 8) f32 sub-cluster AABBs, lanes [min.xyz, max.xyz, 0, 0] —
     # subs on sublanes for the vectorized (8 subs x 128 rays) gate test
     super_sbox: jnp.ndarray = None
+    # (T, 16) f32 per-triangle shading attributes in INPUT tri-id order:
+    # [n0.xyz, n1.xyz, n2.xyz, u0, v0, u1, v1, u2, v2, material_id, pad].
+    # The winner's shading frame is ONE row-gather + barycentric lerp from
+    # this table (~1.5 ms per 262k-ray wavefront measured on v5e) — riding
+    # the 6 interpolated channels through the sort-join instead measured
+    # ~430 ms/pass at 512^2 (docs/perf_notes.md r4).
+    tri_attr: jnp.ndarray = None
 
     @property
     def num_supers(self) -> int:
@@ -162,7 +169,20 @@ def build_clusters(
         super_box=super_box,
         super_geom=super_geom,
         super_sbox=super_sbox,
+        tri_attr=jnp.asarray(_pack_tri_attr(t, normals, uvs, material_ids)),
     )
+
+
+def _pack_tri_attr(t, normals, uvs, material_ids) -> np.ndarray:
+    """(T, 16) input-order shading attribute table (see ClusterSet.tri_attr)."""
+    out = np.zeros((max(t, 1), 16), np.float32)
+    if normals is not None:
+        out[:t, 0:9] = np.asarray(normals, np.float32).reshape(t, 9)
+    if uvs is not None:
+        out[:t, 9:15] = np.asarray(uvs, np.float32).reshape(t, 6)
+    if material_ids is not None:
+        out[:t, 15] = np.asarray(material_ids, np.float32)
+    return out
 
 
 SUB_PER_SUPER = 8
