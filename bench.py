@@ -74,21 +74,30 @@ def bench_backward(scene, meta, cam, size=256):
 
 
 def bench_scene(scene, meta, cam, size, params, n_passes):
+    """All timed passes run in ONE jitted scan (`render_passes`): a separate
+    host dispatch per pass costs ~0.65 s of transport overhead at production
+    sizes on this environment (measured round 5, docs/perf_notes.md) — the
+    scan keeps the timing about the render, like the reference's in-process
+    pass loop keeps its timing about the render."""
     from raytracer_tpu.render.film import make_film
-    from raytracer_tpu.render.renderer import ViewportParams, _jitted_render_pass
+    from raytracer_tpu.render.renderer import ViewportParams, _jitted_render_passes
 
     vp = ViewportParams(width=size, height=size, seed=0)
     film = make_film(vp.width, vp.height)
-    film, counters = _jitted_render_pass(scene, meta, cam, film, jnp.int32(0), None, vp, params)
+    # warmup batch compiles the executable AND renders passes [0, n)
+    film, counters = _jitted_render_passes(
+        scene, meta, cam, film, jnp.int32(0), None, vp, params, n_passes
+    )
     np.asarray(film.sum)  # force completion (axon: block_until_ready lies)
 
     t0 = time.perf_counter()
-    for i in range(1, n_passes + 1):
-        # passes chain through `film`, so forcing the last sum times them all
-        film, counters = _jitted_render_pass(scene, meta, cam, film, jnp.int32(i), None, vp, params)
+    film, counters = _jitted_render_passes(
+        scene, meta, cam, film, jnp.int32(n_passes), None, vp, params, n_passes
+    )
     np.asarray(film.sum)
     dt = time.perf_counter() - t0
-    total_rays = float(counters.num_rays + counters.num_shadow_rays) * n_passes
+    # counters are summed over the batch (exact total, not per-pass estimate)
+    total_rays = float(counters.num_rays + counters.num_shadow_rays)
     overflow = float(counters.num_overflow) if counters.num_overflow is not None else 0.0
     return total_rays / dt / 1e6, overflow
 
@@ -153,7 +162,7 @@ def main():
         iscene, imeta, icam = load_scene(ensure_interior())
         int_mrays, int_ovf = bench_scene(
             iscene, imeta, icam, size=512,
-            params=RenderParams(max_depth=6, mis=True), n_passes=2,
+            params=RenderParams(max_depth=6, mis=True), n_passes=4,
         )
         print(json.dumps({
             "metric": "mrays_per_sec_interior800k_mis",

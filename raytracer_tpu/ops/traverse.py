@@ -58,7 +58,21 @@ def get_traversal_mode() -> str:
 
 
 def _resolved_mode(scene: SceneData) -> str:
-    if _MODE == "bvh" and scene.bvh is None:
+    import os as _os
+
+    # the env override goes through the SAME validation and TPU fence as
+    # set_traversal_mode — a typo must raise, not silently fall through the
+    # backend dispatch chain, and 'wave' on TPU must never reach the engine
+    # that faults the worker
+    mode = _MODE
+    env = _os.environ.get("RT_TRAVERSAL_MODE")
+    if env:
+        if env not in _VALID_MODES:
+            raise ValueError(
+                f"RT_TRAVERSAL_MODE={env!r} not in {_VALID_MODES}"
+            )
+        mode = env
+    if mode == "bvh" and scene.bvh is None:
         # a user selecting the exact oracle must not silently get another path
         raise ValueError(
             "traversal mode 'bvh' requested but the scene has no skip-link BVH "
@@ -67,12 +81,8 @@ def _resolved_mode(scene: SceneData) -> str:
     import jax
 
     on_tpu = jax.default_backend() in ("tpu", "axon")
-    import os as _os
-
-    if _os.environ.get("RT_TRAVERSAL_MODE"):
-        return _os.environ["RT_TRAVERSAL_MODE"]
-    if _MODE != "auto":
-        if _MODE == "wave" and on_tpu:
+    if mode != "auto":
+        if mode == "wave" and on_tpu:
             # wave-v1 has a known data-dependent kernel fault on TPU at
             # production wavefronts (262k rays x depth>=4 kills the worker,
             # docs/perf_notes.md "Known issues"); a user-selectable mode must
@@ -83,7 +93,7 @@ def _resolved_mode(scene: SceneData) -> str:
                 "(docs/perf_notes.md). Use 'wave2' (the TPU default) or run "
                 "on CPU."
             )
-        return _MODE
+        return mode
 
     # wave2 (Pallas sort-join) on TPU; the pure-XLA engine elsewhere
     return "wave2" if on_tpu else "wave"
@@ -124,7 +134,9 @@ def _cs_closest(mode, clusters, bvh, tris, origin: Vec3, direction: Vec3, t_cap)
         from .wave_traverse import wave_closest_hit
 
         t, tri, u, v, ovf = wave_closest_hit(*args)
-        return t, tri, u, v, ovf, interp_tri_attr(clusters, tri, u, v)
+        # interpolate on the DETACHED clusters (args[0]) like wave2 does
+        # inside wave2_closest_hit — traversal backends are AD-detached
+        return t, tri, u, v, ovf, interp_tri_attr(args[0], tri, u, v)
     if mode == "sorted-pallas":
         from .pallas_traverse import pallas_sorted_closest_hit
 

@@ -202,21 +202,19 @@ def _mt_kernel(
     # scalar prefetch
     c_tab,  # (B,) int32 super id per 1024-pair chunk (Cs = sentinel/skip)
     # pipelined tensor operands (BlockSpec-selected per chunk)
-    geom_ref,  # (1, 8K, 32) component-major geometry: tris on SUBLANES,
-    # lanes [v0.xyz, e1.xyz, e2.xyz, tri_id, n0/n1/n2, uv0/uv1/uv2, mat];
-    # rows [s*K,(s+1)*K) = sub s
+    geom_ref,  # (1, 8K, 16) component-major geometry: tris on SUBLANES,
+    # lanes [v0.xyz, e1.xyz, e2.xyz, tri_id, pad]; rows [s*K,(s+1)*K) = sub s
     sbox_ref,  # (1, 8, 8) sub boxes, lanes [min.xyz, max.xyz, 0, 0]
     ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tl_ref,  # (1, 8, 128)
     # outputs (1, 8, 128) — each chunk owns exactly one grid step (runs are
     # filler-padded to chunk multiples), so no revisiting and no read-back:
-    # [t, tri, u, v, done] + (closest mode) [nx, ny, nz, tu, tv, mat]
+    # [t, tri, u, v, done]
     # then scratch: per-ray-row running best in tri-sublane space,
-    # VMEM (8, 128) f32 x (4 or 10)
+    # VMEM (8, 128) f32 x 4
     *refs,
     k: int,
     cs: int,
     any_hit: bool,
-    emit_attrs: bool = False,
 ):
     """Fully vectorized Möller-Trumbore: every op is an (8, 128) VPU tile of
     (8 triangles × 128 rays).  Triangle components are (8, 1) sublane columns
@@ -225,23 +223,14 @@ def _mt_kernel(
     ZERO scalar VMEM reads (the round-3 kernel read geometry scalar-by-scalar
     at ~70 ns each and was wholly read-bound, docs/perf_notes.md).
 
-    Closest mode also EMITS the winner's interpolated shading frame (normal,
-    texcoord, material id) straight from VMEM — the TPU answer to
-    `MeshShape::EvaluateIntersection` (`MeshShape.cpp:283-328`): per-ray
-    attribute gathers after the fact measured ~0.4 s/pass at 512^2.
-
-    ``emit_attrs`` is OFF in production: riding the 6 attr channels through
-    the downstream sorts measured ~430 ms/pass at 512^2 — the winner's frame
-    is instead one row-gather from ``ClusterSet.tri_attr`` after the trace."""
-    attrs = emit_attrs and not any_hit
-    if attrs:
-        (t_out, tri_out, u_out, v_out, done_out,
-         nx_out, ny_out, nz_out, tu_out, tv_out, mat_out,
-         bt_ref, btid_ref, bu_ref, bv_ref,
-         bnx_ref, bny_ref, bnz_ref, btu_ref, btv_ref, bmat_ref) = refs
-    else:
-        (t_out, tri_out, u_out, v_out, done_out,
-         bt_ref, btid_ref, bu_ref, bv_ref) = refs
+    The winner's shading frame (`MeshShape::EvaluateIntersection`,
+    `MeshShape.cpp:283-328`) is reconstructed POST-trace with one row-gather
+    from ``ClusterSet.tri_attr`` (~1.5 ms per 262k-ray wavefront): both
+    riding attr channels through the downstream sorts (~430 ms/pass at
+    512^2) and packing them into this kernel's geometry DMA were measured
+    and rejected (docs/perf_notes.md r4)."""
+    (t_out, tri_out, u_out, v_out, done_out,
+     bt_ref, btid_ref, bu_ref, bv_ref) = refs
     b = pl.program_id(0)
     live = c_tab[b] < cs
 
@@ -265,14 +254,6 @@ def _mt_kernel(
     u_out[0] = jnp.zeros(tl.shape, jnp.float32)
     v_out[0] = jnp.zeros(tl.shape, jnp.float32)
     done_out[0] = jnp.where(live, mask.astype(jnp.int32), 0)
-    if attrs:
-        z = jnp.zeros(tl.shape, jnp.float32)
-        nx_out[0] = z
-        ny_out[0] = z
-        nz_out[0] = z
-        tu_out[0] = z
-        tv_out[0] = z
-        mat_out[0] = z
 
     tiny = 1e-12
     inv = lambda d: 1.0 / jnp.where(jnp.abs(d) > tiny, d, jnp.where(d >= 0, tiny, -tiny))
@@ -281,7 +262,7 @@ def _mt_kernel(
 
     @pl.when(live)
     def _():
-        geom = geom_ref[0]  # (8K, 16)
+        geom = geom_ref[0]  # (8K, 16): [v0.xyz, e1.xyz, e2.xyz, tri_id, pad]
         sbox = sbox_ref[0]  # (8, 8)
         sb = lambda c: sbox[:, c : c + 1]  # (8, 1) sub-box component column
 
@@ -317,14 +298,6 @@ def _mt_kernel(
             btid_ref[:] = jnp.full((8, 128), -1.0, jnp.float32)
             bu_ref[:] = jnp.zeros((8, 128), jnp.float32)
             bv_ref[:] = jnp.zeros((8, 128), jnp.float32)
-            if attrs:
-                zz = jnp.zeros((8, 128), jnp.float32)
-                bnx_ref[:] = zz
-                bny_ref[:] = zz
-                bnz_ref[:] = zz
-                btu_ref[:] = zz
-                btv_ref[:] = zz
-                bmat_ref[:] = zz
 
             for s in range(SUB_PER_SUPER):
 
@@ -334,9 +307,6 @@ def _mt_kernel(
                     btid = btid_ref[:]
                     bu = bu_ref[:]
                     bv = bv_ref[:]
-                    if attrs:
-                        bnx, bny, bnz = bnx_ref[:], bny_ref[:], bnz_ref[:]
-                        btu, btv, bmat = btu_ref[:], btv_ref[:], bmat_ref[:]
                     for g in range(groups):
                         rows = slice((s * k + g * 8), (s * k + g * 8 + 8))
                         col = lambda c: geom[rows, c : c + 1]  # (8, 1)
@@ -376,37 +346,10 @@ def _mt_kernel(
                             btid = jnp.where(hit, tid, btid)
                             bu = jnp.where(hit, uu, bu)
                             bv = jnp.where(hit, vv, bv)
-                        if attrs:
-                            # interpolated shading frame of the (current)
-                            # winner, straight from the geometry block
-                            ww = 1.0 - uu - vv
-                            bnx = jnp.where(
-                                hit, col(10) * ww + col(13) * uu + col(16) * vv, bnx
-                            )
-                            bny = jnp.where(
-                                hit, col(11) * ww + col(14) * uu + col(17) * vv, bny
-                            )
-                            bnz = jnp.where(
-                                hit, col(12) * ww + col(15) * uu + col(18) * vv, bnz
-                            )
-                            btu = jnp.where(
-                                hit, col(19) * ww + col(21) * uu + col(23) * vv, btu
-                            )
-                            btv = jnp.where(
-                                hit, col(20) * ww + col(22) * uu + col(24) * vv, btv
-                            )
-                            bmat = jnp.where(hit, col(25), bmat)
                     bt_ref[:] = bt
                     btid_ref[:] = btid
                     bu_ref[:] = bu
                     bv_ref[:] = bv
-                    if attrs:
-                        bnx_ref[:] = bnx
-                        bny_ref[:] = bny
-                        bnz_ref[:] = bnz
-                        btu_ref[:] = btu
-                        btv_ref[:] = btv
-                        bmat_ref[:] = bmat
 
             # fold the 8 sublane slots into this row's final hit: min t,
             # ties by lowest tri id (matches the host-side winner select)
@@ -424,18 +367,6 @@ def _mt_kernel(
             tri_out[0, ro] = jnp.where(any_row, tid_row, -1.0).astype(jnp.int32)
             u_out[0, ro] = jnp.where(any_row, u_row, 0.0)
             v_out[0, ro] = jnp.where(any_row, v_row, 0.0)
-            if attrs:
-                sel = lambda ref: jnp.where(
-                    any_row,
-                    jnp.max(jnp.where(w, ref[:], -BIGF), axis=0, keepdims=True),
-                    0.0,
-                )
-                nx_out[0, ro] = sel(bnx_ref)
-                ny_out[0, ro] = sel(bny_ref)
-                nz_out[0, ro] = sel(bnz_ref)
-                tu_out[0, ro] = sel(btu_ref)
-                tv_out[0, ro] = sel(btv_ref)
-                mat_out[0, ro] = sel(bmat_ref)
 
 
 def _searchsorted(sorted_arr, queries):
@@ -447,8 +378,9 @@ def _round(cs_set: ClusterSet, ox, oy, oz, dx, dy, dz, tl, cursor, kc: int, bps:
     """One full extraction + join + MT round on a padded (Npad,) wavefront.
 
     Returns (t, tri, u, v, attrs, new_cursor, unresolved) — t == |tl| where
-    no hit; ``attrs`` = 6-tuple of interpolated shading channels (closest
-    mode) or () (static any-hit mode).
+    no hit.  ``attrs`` is always (): the winner's shading frame is
+    reconstructed post-trace from ``ClusterSet.tri_attr`` (the tuple slot is
+    kept so the driver's carry structure is stable).
     """
     n = ox.shape[0]
     cs = cs_set.num_supers
@@ -576,9 +508,8 @@ def _round(cs_set: ClusterSet, ox, oy, oz, dx, dy, dz, tl, cursor, kc: int, bps:
     chunked = lambda x: x.reshape(b2, 8, 128)
     k = cs_set.tris_per_cluster
     n_supers = cs  # OOB block indices fault the TPU: clamp defensively
-    attrs = False  # frame comes from tri_attr post-trace (wave2_closest_hit)
     geom_spec = pl.BlockSpec(
-        (1, SUB_PER_SUPER * k, 32),
+        (1, SUB_PER_SUPER * k, 16),
         lambda i, c: (jnp.clip(c[i], 0, n_supers - 1), 0, 0),
         memory_space=pltpu.VMEM,
     )
@@ -590,19 +521,18 @@ def _round(cs_set: ClusterSet, ox, oy, oz, dx, dy, dz, tl, cursor, kc: int, bps:
     pair_spec = pl.BlockSpec(
         (1, 8, 128), lambda i, c: (i, 0, 0), memory_space=pltpu.VMEM
     )
-    n_out = 11 if attrs else 5
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(b2,),
         in_specs=[geom_spec, sbox_spec] + [pair_spec] * 7,
-        out_specs=[pair_spec] * n_out,
-        scratch_shapes=[pltpu.VMEM((8, 128), jnp.float32)] * (10 if attrs else 4),
+        out_specs=[pair_spec] * 5,
+        scratch_shapes=[pltpu.VMEM((8, 128), jnp.float32)] * 4,
     )
     f32s = jax.ShapeDtypeStruct((b2, 8, 128), jnp.float32)
     i32s = jax.ShapeDtypeStruct((b2, 8, 128), jnp.int32)
-    out_shape = [f32s, i32s, f32s, f32s, i32s] + ([f32s] * 6 if attrs else [])
+    out_shape = [f32s, i32s, f32s, f32s, i32s]
     outs = pl.pallas_call(
-        functools.partial(_mt_kernel, k=k, cs=cs, any_hit=any_hit, emit_attrs=attrs),
+        functools.partial(_mt_kernel, k=k, cs=cs, any_hit=any_hit),
         grid_spec=grid_spec,
         out_shape=out_shape,
         interpret=_interpret(),

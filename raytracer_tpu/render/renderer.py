@@ -163,6 +163,51 @@ _jitted_render_pass = jax.jit(
 )
 
 
+def render_passes(
+    scene: SceneData,
+    meta: SceneMeta,
+    cam: Camera,
+    film: Film,
+    pass0: jnp.ndarray,
+    haltons: jnp.ndarray | None,
+    vp: ViewportParams,
+    params: RenderParams,
+    n_passes: int,
+) -> tuple[Film, Counters]:
+    """``n_passes`` accumulation passes chained in ONE jitted `lax.scan`.
+
+    One host dispatch per BATCH instead of per pass: on this environment's
+    TPU transport a separate launch costs ~0.65 s of host-side overhead at
+    production sizes (measured round 5, docs/perf_notes.md) — about as much
+    as the 512^2 mesh render pass itself.  The scan body is exactly
+    :func:`render_pass`, so results are bit-identical to the per-pass loop.
+
+    ``haltons``: (n_passes, dims) stacked per-pass Halton vectors, or None.
+    Returned counters are summed over the batch.
+    """
+    def body(carry, halton):
+        film, pidx = carry
+        film, counters = render_pass(scene, meta, cam, film, pidx, halton, vp, params)
+        return (film, pidx + 1), counters
+
+    xs = haltons
+    if xs is None:
+        xs = jnp.zeros((n_passes, 0), jnp.float32)
+
+    def body_opt(carry, xs_row):
+        return body(carry, xs_row if haltons is not None else None)
+
+    (film, _), counters = jax.lax.scan(body_opt, (film, pass0), xs)
+    summed = jax.tree.map(lambda a: jnp.sum(a, axis=0), counters)
+    return film, summed
+
+
+_jitted_render_passes = jax.jit(
+    render_passes,
+    static_argnames=("meta", "vp", "params", "n_passes"),
+)
+
+
 class Viewport:
     """Stateful orchestration: film + pass counter + compiled pass fn.
 
@@ -207,23 +252,27 @@ class Viewport:
         self.total_tri_tests = 0.0
 
     def render(self, n_passes: int = 1):
-        """Run ``n_passes`` accumulation passes (`Viewport::Render`)."""
-        for _ in range(n_passes):
-            pass_idx = int(self.film.num_passes)
-            halton = None
-            if self.vp_params.use_low_discrepancy:
-                halton = jnp.asarray(halton_frame_vector(pass_idx))
-            self.film, counters = self._pass_fn(
-                self.scene, self.meta, self.cam, self.film, jnp.int32(pass_idx),
-                halton, self.vp_params, self.render_params,
+        """Run ``n_passes`` accumulation passes (`Viewport::Render`).
+
+        All passes run in ONE jitted scan (`render_passes`) — one host
+        dispatch per batch, bit-identical to per-pass dispatching."""
+        pass_idx = int(self.film.num_passes)
+        halton = None
+        if self.vp_params.use_low_discrepancy:
+            halton = jnp.asarray(
+                np.stack([halton_frame_vector(pass_idx + i) for i in range(n_passes)])
             )
-            self.total_rays += float(counters.num_rays)
-            self.total_shadow_rays += float(counters.num_shadow_rays)
-            if getattr(counters, "num_box_tests", None) is not None:
-                self.total_box_tests += float(counters.num_box_tests)
-                self.total_tri_tests += float(counters.num_tri_tests)
-            if counters.num_overflow is not None:
-                self.total_overflow += float(counters.num_overflow)
+        self.film, counters = _jitted_render_passes(
+            self.scene, self.meta, self.cam, self.film, jnp.int32(pass_idx),
+            halton, self.vp_params, self.render_params, n_passes,
+        )
+        self.total_rays += float(counters.num_rays)
+        self.total_shadow_rays += float(counters.num_shadow_rays)
+        if getattr(counters, "num_box_tests", None) is not None:
+            self.total_box_tests += float(counters.num_box_tests)
+            self.total_tri_tests += float(counters.num_tri_tests)
+        if counters.num_overflow is not None:
+            self.total_overflow += float(counters.num_overflow)
         return self
 
     def radiance(self) -> np.ndarray:

@@ -58,9 +58,10 @@ class ClusterSet(NamedTuple):
     # component-major layout for the vectorized MT kernel (wave2): tris on
     # SUBLANES so each geometry component is an (ntri, 1) column the kernel
     # broadcasts along ray lanes — no scalar VMEM reads in the hot loop.
-    # (Cs, 8*K, 32) f32, lanes [v0.xyz, e1.xyz, e2.xyz, tri_id, n0/n1/n2,
-    # uv0/uv1/uv2, material_id, pad]; rows grouped by sub-cluster
-    # (rows [s*K, (s+1)*K) = sub s)
+    # (Cs, 8*K, 16) f32, lanes [v0.xyz, e1.xyz, e2.xyz, tri_id, pad]; rows
+    # grouped by sub-cluster (rows [s*K, (s+1)*K) = sub s).  Shading
+    # attributes live ONLY in `tri_attr` (reconstructed post-trace), so the
+    # per-chunk DMA carries no dead lanes.
     super_geom: jnp.ndarray = None
     # (Cs, 8, 8) f32 sub-cluster AABBs, lanes [min.xyz, max.xyz, 0, 0] —
     # subs on sublanes for the vectorized (8 subs x 128 rays) gate test
@@ -111,10 +112,11 @@ def build_clusters(
     caller already holds need no further permutation.
 
     ``normals`` (T,3,3) / ``uvs`` (T,3,2) / ``material_ids`` (T,): optional
-    per-vertex shading attributes packed alongside the geometry so the MT
-    kernel can EMIT the winner's interpolated shading frame — eliminating
-    the per-ray attribute gathers that dominate shading cost (measured
-    ~0.4 s/pass at 512^2 on v5e, docs/perf_notes.md r4).
+    per-vertex shading attributes, packed into the input-order ``tri_attr``
+    table — the winner's interpolated shading frame is reconstructed
+    post-trace with ONE row-gather + barycentric lerp (riding attr channels
+    through the traversal sorts measured ~430 ms/pass at 512^2 and was
+    rejected, docs/perf_notes.md r4).
     """
     t = v0.shape[0]
     centroid = v0 + (e1 + e2) / 3.0
@@ -132,15 +134,6 @@ def build_clusters(
         geom = np.concatenate([geom, np.zeros((pad, 9), np.float32)], 0)
     ids = np.concatenate([order.astype(np.int32), np.full(pad, -1, np.int32)])
 
-    # shading attribute rows aligned with the reordered geometry
-    attr = np.zeros((t + pad if pad else t, 16), np.float32)
-    if normals is not None:
-        attr[:t, 0:9] = np.asarray(normals, np.float32)[order].reshape(t, 9)
-    if uvs is not None:
-        attr[:t, 9:15] = np.asarray(uvs, np.float32)[order].reshape(t, 6)
-    if material_ids is not None:
-        attr[:t, 15] = np.asarray(material_ids, np.float32)[order]
-
     blocks = geom.reshape(c, k, 9)
     # cluster bounds from member triangle AABBs (pads contribute nothing)
     verts = np.stack(
@@ -152,8 +145,7 @@ def build_clusters(
     vmax = np.where(valid, verts, -np.inf).max(axis=(1, 2))
 
     super_box, super_geom, super_sbox = _pack_super_clusters(
-        blocks.reshape(c, k * 9), ids.reshape(c, k), vmin, vmax,
-        attr.reshape(c, k, 16),
+        blocks.reshape(c, k * 9), ids.reshape(c, k), vmin, vmax
     )
     return ClusterSet(
         box_min_x=jnp.asarray(vmin[:, 0]), box_min_y=jnp.asarray(vmin[:, 1]),
@@ -169,12 +161,19 @@ def build_clusters(
         super_box=super_box,
         super_geom=super_geom,
         super_sbox=super_sbox,
-        tri_attr=jnp.asarray(_pack_tri_attr(t, normals, uvs, material_ids)),
+        tri_attr=(lambda a: jnp.asarray(a) if a is not None else None)(
+            _pack_tri_attr(t, normals, uvs, material_ids)
+        ),
     )
 
 
-def _pack_tri_attr(t, normals, uvs, material_ids) -> np.ndarray:
-    """(T, 16) input-order shading attribute table (see ClusterSet.tri_attr)."""
+def _pack_tri_attr(t, normals, uvs, material_ids):
+    """(T, 16) input-order shading attribute table (see ClusterSet.tri_attr),
+    or None when no attributes were supplied — so `scene_hit_frame` falls
+    back to the `eval_tri_frame` gather path instead of normalizing a zero
+    normal from an all-zero table."""
+    if normals is None and uvs is None and material_ids is None:
+        return None
     out = np.zeros((max(t, 1), 16), np.float32)
     if normals is not None:
         out[:t, 0:9] = np.asarray(normals, np.float32).reshape(t, 9)
@@ -190,7 +189,7 @@ SUB_PER_SUPER = 8
 
 def _pack_super_clusters(
     tri_block: np.ndarray, tri_id: np.ndarray, vmin: np.ndarray,
-    vmax: np.ndarray, attr: np.ndarray
+    vmax: np.ndarray,
 ):
     """Group 8 Morton-consecutive clusters into one super-cluster and pack
     each super's geometry (8 sub geoms + ids + sub boxes) into whole
@@ -206,7 +205,6 @@ def _pack_super_clusters(
     if cpad:
         tri_block = np.concatenate([tri_block, np.zeros((cpad, k9), np.float32)])
         tri_id = np.concatenate([tri_id, np.full((cpad, k), -1, np.int32)])
-        attr = np.concatenate([attr, np.zeros((cpad, k, 16), np.float32)])
         vmin = np.concatenate([vmin, np.full((cpad, 3), np.float32(3e38))])
         vmax = np.concatenate([vmax, np.full((cpad, 3), np.float32(-3e38))])
     smin = vmin.reshape(cs, SUB_PER_SUPER, 3).min(1)
@@ -217,12 +215,11 @@ def _pack_super_clusters(
     )  # (cs, 8, 6)
 
     # component-major blocks: tris on sublanes, components on lanes
-    # [0:9] v0/e1/e2, [9] tri id, [10:19] n0/n1/n2, [19:25] uv0/uv1/uv2,
-    # [25] material id, rest pad
-    geom = np.zeros((cs, SUB_PER_SUPER * k, 32), np.float32)
+    # [0:9] v0/e1/e2, [9] tri id, rest pad (16-lane rows: no dead attribute
+    # lanes riding the per-chunk DMA — shading attrs live in tri_attr)
+    geom = np.zeros((cs, SUB_PER_SUPER * k, 16), np.float32)
     geom[:, :, :9] = tri_block.reshape(cs, SUB_PER_SUPER * k, 9)
     geom[:, :, 9] = tri_id.reshape(cs, SUB_PER_SUPER * k).astype(np.float32)
-    geom[:, :, 10:26] = attr.reshape(cs, SUB_PER_SUPER * k, 16)
     sbox = np.zeros((cs, SUB_PER_SUPER, 8), np.float32)
     sbox[:, :, :6] = sb
     return jnp.asarray(super_box), jnp.asarray(geom), jnp.asarray(sbox)
