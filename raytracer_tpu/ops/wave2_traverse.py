@@ -193,6 +193,113 @@ def _p1_extract(cs_set: ClusterSet, ox, oy, oz, dx, dy, dz, tl, cursor, kc: int)
     return cand.reshape(-1, kc)[:n], remaining.reshape(-1)[:n]
 
 
+def _id_bits(cs: int) -> int:
+    return max(1, int(cs).bit_length())
+
+
+@functools.partial(jax.jit, static_argnames=("kc",))
+def _p1_extract_ftb(cs_set: ClusterSet, ox, oy, oz, dx, dy, dz, tl, cur_key, kc: int):
+    """Front-to-back candidate extraction (`Traversal_Single.h:65-75`'s
+    near-child-first ordering, re-expressed for a dense wavefront).
+
+    Per ray: the ``kc`` nearest unvisited overlapped supers, ordered by
+    (t_enter, id).  Each (ray, super) overlap gets ONE sortable int32 key
+    ``(t_enter_bits >> sh) << id_bits | super_id`` — the bit pattern of a
+    non-negative f32 is monotone in its value, so integer order == distance
+    order, with the super id as tie-break.  ``cur_key`` is the key of the
+    last super already visited (-1 initially); only strictly greater keys are
+    emitted, which makes multi-round resumption exact.
+
+    Returns (cand (N, kc) ascending keys' super ids (Cs = empty slot),
+    next_t (N,) a LOWER BOUND on the (kc+1)-th candidate's t_enter (+inf when
+    none — the early-termination test `next_t < t_best` is conservative
+    under the key quantization), new_cur (N,) the last emitted key).
+    """
+    n = ox.shape[0]
+    cs = cs_set.num_supers
+    idb = _id_bits(cs)
+    sh = idb  # (31 - sh) t bits + idb id bits fit in a non-negative int32
+    imax = jnp.int32(2**31 - 1)
+    ch = max(CHUNK, min(n, (_P1_CHUNK_ELEMS // max(cs, 1)) // CHUNK * CHUNK))
+    pad = (-n) % ch
+    num_chunks = (n + pad) // ch
+
+    tiny = 1e-12
+    inv = lambda d: 1.0 / jnp.where(jnp.abs(d) > tiny, d, jnp.where(d >= 0, tiny, -tiny))
+
+    def shp(x, fill):
+        if pad:
+            x = jnp.concatenate([x, jnp.full((pad,), fill, x.dtype)])
+        return x.reshape(num_chunks, ch, 1)
+
+    chunks = (
+        shp(ox, 0.0), shp(oy, 0.0), shp(oz, 0.0),
+        shp(inv(dx), 1.0), shp(inv(dy), 1.0), shp(inv(dz), 1.0),
+        shp(tl, 0.0), shp(cur_key, imax),
+    )
+
+    bx0 = cs_set.super_box[None, :, 0]
+    by0 = cs_set.super_box[None, :, 1]
+    bz0 = cs_set.super_box[None, :, 2]
+    bx1 = cs_set.super_box[None, :, 3]
+    by1 = cs_set.super_box[None, :, 4]
+    bz1 = cs_set.super_box[None, :, 5]
+    cid_row = jnp.arange(cs, dtype=jnp.int32)[None, :]
+
+    def body(_, chunk):
+        cox, coy, coz, cix, ciy, ciz, ctl, ccur = chunk
+        t1x = (bx0 - cox) * cix
+        t2x = (bx1 - cox) * cix
+        t1y = (by0 - coy) * ciy
+        t2y = (by1 - coy) * ciy
+        t1z = (bz0 - coz) * ciz
+        t2z = (bz1 - coz) * ciz
+        tmin = jnp.maximum(
+            jnp.maximum(jnp.minimum(t1x, t2x), jnp.minimum(t1y, t2y)),
+            jnp.minimum(t1z, t2z),
+        )
+        tmax = jnp.minimum(
+            jnp.minimum(jnp.maximum(t1x, t2x), jnp.maximum(t1y, t2y)),
+            jnp.maximum(t1z, t2z),
+        )
+        ent = jnp.maximum(tmin, 0.0)
+        # tl's SIGN encodes per-ray any-hit mode; the limit is |tl|
+        hit = (tmax >= ent) & (ent < jnp.abs(ctl))
+        key = (
+            (jax.lax.bitcast_convert_type(ent, jnp.int32) >> sh) << idb
+        ) | cid_row
+        kmat = jnp.where(hit & (key > ccur), key, imax)
+        # multi-pass min consumers re-evaluate fused producers per pass:
+        # materialize the key matrix once
+        kmat = jax.lax.optimization_barrier(kmat)
+
+        slots = []
+        last = jnp.broadcast_to(ccur[:, 0], (ch,))
+        for _s in range(kc):
+            m = jnp.min(kmat, axis=1)
+            got = m < imax
+            slots.append(jnp.where(got, m & ((1 << idb) - 1), cs))
+            last = jnp.where(got, m, last)
+            kmat = jnp.where(kmat == m[:, None], imax, kmat)
+        next_m = jnp.min(kmat, axis=1)
+        # dequantized floor of the next candidate's t_enter (conservative)
+        next_t = jnp.where(
+            next_m < imax,
+            jax.lax.bitcast_convert_type(
+                (next_m >> idb) << sh, jnp.float32
+            ),
+            jnp.float32(jnp.inf),
+        )
+        return None, (jnp.stack(slots, axis=1), next_t, last)
+
+    _, (cand, next_t, last) = jax.lax.scan(body, None, chunks)
+    return (
+        cand.reshape(-1, kc)[:n],
+        next_t.reshape(-1)[:n],
+        last.reshape(-1)[:n],
+    )
+
+
 # --------------------------------------------------------------------------
 # Phase 2: sort-join + streaming MT kernel
 # --------------------------------------------------------------------------
@@ -373,9 +480,16 @@ def _searchsorted(sorted_arr, queries):
     return jnp.searchsorted(sorted_arr, queries, side="right")
 
 
-@functools.partial(jax.jit, static_argnames=("kc", "bps", "any_hit"))
-def _round(cs_set: ClusterSet, ox, oy, oz, dx, dy, dz, tl, cursor, kc: int, bps: int, any_hit: bool):
+@functools.partial(jax.jit, static_argnames=("kc", "bps", "any_hit", "ftb"))
+def _round(cs_set: ClusterSet, ox, oy, oz, dx, dy, dz, tl, cursor, kc: int, bps: int, any_hit: bool, ftb: bool = False):
     """One full extraction + join + MT round on a padded (Npad,) wavefront.
+
+    ``ftb=True`` selects front-to-back candidate extraction: candidates
+    arrive in ascending (t_enter, id) order and a ray terminates as soon as
+    its next unvisited candidate's entry distance cannot beat its best hit
+    (the wavefront analogue of near-child-first + early-out,
+    `Traversal_Single.h:65-75`).  ``cursor`` is then the last visited
+    (t_enter, id) key instead of the last visited super id.
 
     Returns (t, tri, u, v, attrs, new_cursor, unresolved) — t == |tl| where
     no hit.  ``attrs`` is always (): the winner's shading frame is
@@ -386,7 +500,13 @@ def _round(cs_set: ClusterSet, ox, oy, oz, dx, dy, dz, tl, cursor, kc: int, bps:
     cs = cs_set.num_supers
     ah_ray = tl < 0.0  # sign encodes per-ray any-hit (limit |tl|)
     tl_abs = jnp.abs(tl)
-    cand, remaining = _p1_extract(cs_set, ox, oy, oz, dx, dy, dz, tl, cursor, kc)
+    if ftb:
+        cand, next_t, new_key = _p1_extract_ftb(
+            cs_set, ox, oy, oz, dx, dy, dz, tl, cursor, kc
+        )
+        remaining = None
+    else:
+        cand, remaining = _p1_extract(cs_set, ox, oy, oz, dx, dy, dz, tl, cursor, kc)
 
     p = n * kc
     p_pad = -(-p // CHUNK) * CHUNK
@@ -531,18 +651,29 @@ def _round(cs_set: ClusterSet, ox, oy, oz, dx, dy, dz, tl, cursor, kc: int, bps:
     f32s = jax.ShapeDtypeStruct((b2, 8, 128), jnp.float32)
     i32s = jax.ShapeDtypeStruct((b2, 8, 128), jnp.int32)
     out_shape = [f32s, i32s, f32s, f32s, i32s]
-    outs = pl.pallas_call(
-        functools.partial(_mt_kernel, k=k, cs=cs, any_hit=any_hit),
-        grid_spec=grid_spec,
-        out_shape=out_shape,
-        interpret=_interpret(),
-    )(
-        block_cluster,
-        cs_set.super_geom,
-        cs_set.super_sbox,
-        chunked(fox), chunked(foy), chunked(foz),
-        chunked(fdx), chunked(fdy), chunked(fdz), chunked(ftl),
-    )
+    if _os.environ.get("RT_WAVE2_SKIP_KERNEL"):
+        # perf-ablation diagnostics only (tools/probe_r5b.py): the sort-join
+        # runs but every chunk reports "processed, no hit" — isolates the
+        # sorts+reduce bill from the MT kernel (requires jax.clear_caches()
+        # between flag flips: the flag is read at trace time)
+        ctl = chunked(ftl)
+        outs = [jnp.abs(ctl), jnp.full((b2, 8, 128), -1, jnp.int32),
+                jnp.zeros((b2, 8, 128), jnp.float32),
+                jnp.zeros((b2, 8, 128), jnp.float32),
+                (jnp.abs(ctl) > 0.0).astype(jnp.int32)]
+    else:
+        outs = pl.pallas_call(
+            functools.partial(_mt_kernel, k=k, cs=cs, any_hit=any_hit),
+            grid_spec=grid_spec,
+            out_shape=out_shape,
+            interpret=_interpret(),
+        )(
+            block_cluster,
+            cs_set.super_geom,
+            cs_set.super_sbox,
+            chunked(fox), chunked(foy), chunked(foz),
+            chunked(fdx), chunked(fdy), chunked(fdz), chunked(ftl),
+        )
     t_s, tri_s, u_s, v_s, done_s = outs[:5]
     attr_s = outs[5:]
 
@@ -584,12 +715,21 @@ def _round(cs_set: ClusterSet, ox, oy, oz, dx, dy, dz, tl, cursor, kc: int, bps:
 
     unproc = slot_valid & (done_p == 0)
     any_unproc = jnp.any(unproc, axis=1)
-    min_unproc = jnp.min(jnp.where(unproc, cand, cs + 1), axis=1)
-    max_extracted = jnp.max(jnp.where(slot_valid, cand, -1), axis=1)
-    new_cursor = jnp.where(
-        any_unproc, min_unproc - 1, jnp.maximum(max_extracted, cursor)
-    )
-    unresolved = any_unproc | (remaining > 0)
+    if ftb:
+        # early termination: done when the nearest unvisited candidate's
+        # entry distance (conservative floor) cannot beat the best hit.
+        # ``any_unproc`` is unreachable by construction (runs are
+        # filler-padded to whole chunks); if it ever fired the lane retries
+        # with an unadvanced cursor and max_iters caps + overflow-flags it.
+        new_cursor = jnp.where(any_unproc, cursor, new_key)
+        unresolved = any_unproc | (next_t < t_round)
+    else:
+        min_unproc = jnp.min(jnp.where(unproc, cand, cs + 1), axis=1)
+        max_extracted = jnp.max(jnp.where(slot_valid, cand, -1), axis=1)
+        new_cursor = jnp.where(
+            any_unproc, min_unproc - 1, jnp.maximum(max_extracted, cursor)
+        )
+        unresolved = any_unproc | (remaining > 0)
     if any_hit:
         unresolved = unresolved & (best_tri < 0)
     unresolved = unresolved & ~(ah_ray & (best_tri >= 0))
@@ -603,7 +743,7 @@ def _round(cs_set: ClusterSet, ox, oy, oz, dx, dy, dz, tl, cursor, kc: int, bps:
 SUBWAVE = 65536  # rays per traced window (cost scales with LIVE rays)
 
 
-def _window_trace(cs_set: ClusterSet, ox, oy, oz, dx, dy, dz, tm, kc: int, any_hit: bool, max_iters: int):
+def _window_trace(cs_set: ClusterSet, ox, oy, oz, dx, dy, dz, tm, kc: int, any_hit: bool, max_iters: int, ftb: bool = False):
     """Round + compacted-continuation loop on one already-padded window.
     ``tm`` may carry per-ray any-hit encoding (negative = occlusion query
     with limit |tm|)."""
@@ -611,7 +751,7 @@ def _window_trace(cs_set: ClusterSet, ox, oy, oz, dx, dy, dz, tm, kc: int, any_h
     cursor0 = jnp.full(n, -1, jnp.int32)
     bps = max(1, min(32, (n * kc) // CHUNK))
     t1, tri1, u1, v1, attr1, cur1, unres1 = _round(
-        cs_set, ox, oy, oz, dx, dy, dz, tm, cursor0, kc, bps, any_hit
+        cs_set, ox, oy, oz, dx, dy, dz, tm, cursor0, kc, bps, any_hit, ftb
     )
 
     nsub = min(NSUB, n)
@@ -632,7 +772,7 @@ def _window_trace(cs_set: ClusterSet, ox, oy, oz, dx, dy, dz, tm, kc: int, any_h
         cap = jnp.where(live, jnp.where(ah_sel, -g(t), g(t)), 0.0)
         t_r, tri_r, u_r, v_r, attr_r, cur_r, unres_r = _round(
             cs_set, g(ox), g(oy), g(oz), g(dx), g(dy), g(dz),
-            cap, g(cur), kc, bps_sub, any_hit,
+            cap, g(cur), kc, bps_sub, any_hit, ftb,
         )
         improved = live & (t_r < t[sel])
         wi = jnp.where(live, sel, n)  # drop writes for dead lanes
@@ -654,8 +794,8 @@ def _window_trace(cs_set: ClusterSet, ox, oy, oz, dx, dy, dz, tm, kc: int, any_h
     return t, tri, u, v, attr, unres
 
 
-@functools.partial(jax.jit, static_argnames=("kc", "any_hit", "max_iters"))
-def _wave2_trace(cs_set: ClusterSet, ox, oy, oz, dx, dy, dz, tm, kc: int, any_hit: bool, max_iters: int):
+@functools.partial(jax.jit, static_argnames=("kc", "any_hit", "max_iters", "ftb"))
+def _wave2_trace(cs_set: ClusterSet, ox, oy, oz, dx, dy, dz, tm, kc: int, any_hit: bool, max_iters: int, ftb: bool = False):
     """Full-wavefront trace: rays with work (t_max > 0) are compacted to the
     front with ONE stable sort, then traced in fixed-size SUBWAVE windows by
     a `lax.while_loop` over ceil(live / SUBWAVE) iterations.  Terminated or
@@ -700,7 +840,7 @@ def _wave2_trace(cs_set: ClusterSet, ox, oy, oz, dx, dy, dz, tm, kc: int, any_hi
         sl = lambda a: jax.lax.dynamic_slice(a, (off,), (s,))
         tw, triw, uw, vw, attrw, ovfw = _window_trace(
             cs_set, sl(cox), sl(coy), sl(coz), sl(cdx), sl(cdy), sl(cdz),
-            sl(ctm), kc, any_hit, max_iters,
+            sl(ctm), kc, any_hit, max_iters, ftb,
         )
         upd = lambda a, w: jax.lax.dynamic_update_slice(a, w, (off,))
         return (
@@ -725,7 +865,23 @@ def _wave2_trace(cs_set: ClusterSet, ox, oy, oz, dx, dy, dz, tm, kc: int, any_hi
 
 import os
 
-_KC_DEFAULT = int(os.environ.get("RT_WAVE2_KC", "16"))  # perf-tuning knob
+
+def _ftb_default() -> bool:
+    """Front-to-back candidate ordering + early termination (default on).
+    RT_WAVE2_FTB=0 restores the round-4 ascending-id extraction (A/B knob,
+    read at trace time)."""
+    return os.environ.get("RT_WAVE2_FTB", "1") != "0"
+
+
+def _kc_default(ftb: bool) -> int:
+    """Candidates per extraction round: front-to-back needs only the few
+    NEAREST supers per round (most rays resolve in one), so its default is
+    4 vs 16 for id-ordered extraction — 4x fewer pair slots riding the
+    sorts."""
+    env = os.environ.get("RT_WAVE2_KC")
+    if env:
+        return int(env)
+    return 4 if ftb else 16
 
 
 def wave2_closest_hit(cs: ClusterSet, origin: Vec3, direction: Vec3, t_max, kc: int = None, max_iters: int = 64, with_attrs: bool = False):
@@ -741,10 +897,11 @@ def wave2_closest_hit(cs: ClusterSet, origin: Vec3, direction: Vec3, t_max, kc: 
     measured ~430 ms/pass at 512^2, so the table gather wins decisively."""
     cs, origin, direction, t_max = jax.lax.stop_gradient((cs, origin, direction, t_max))
     tm = jnp.asarray(t_max) * jnp.ones(origin.x.shape, jnp.float32)
-    kc = min(kc or _KC_DEFAULT, cs.num_supers)
+    ftb = _ftb_default()
+    kc = min(kc or _kc_default(ftb), cs.num_supers)
     t, tri, u, v, _, overflow = _wave2_trace(
         cs, origin.x, origin.y, origin.z, direction.x, direction.y, direction.z,
-        tm, kc, False, max_iters,
+        tm, kc, False, max_iters, ftb,
     )
     missed = tri < 0
     t = jnp.where(missed, BIG, t)
@@ -775,9 +932,10 @@ def wave2_any_hit(cs: ClusterSet, origin: Vec3, direction: Vec3, t_max, kc: int 
     """Any-hit occlusion query. Returns (occluded, overflow)."""
     cs, origin, direction, t_max = jax.lax.stop_gradient((cs, origin, direction, t_max))
     tm = jnp.asarray(t_max) * jnp.ones(origin.x.shape, jnp.float32)
-    kc = min(kc or _KC_DEFAULT, cs.num_supers)
+    ftb = _ftb_default()
+    kc = min(kc or _kc_default(ftb), cs.num_supers)
     t, tri, _, _, _, overflow = _wave2_trace(
         cs, origin.x, origin.y, origin.z, direction.x, direction.y, direction.z,
-        tm, kc, True, max_iters,
+        tm, kc, True, max_iters, ftb,
     )
     return tri >= 0, overflow

@@ -149,11 +149,11 @@ def stage_capture():
 
 
 def stage_dispatch_budget():
-    from raytracer_tpu.ops.wave2_traverse import _KC_DEFAULT, _p1_extract, _wave2_trace
+    from raytracer_tpu.ops.wave2_traverse import _ftb_default, _kc_default, _p1_extract, _wave2_trace
 
     scene, captured = stage_capture()
     cs = scene.clusters
-    kc = min(_KC_DEFAULT, cs.num_supers)
+    kc = min(_kc_default(_ftb_default()), cs.num_supers)
 
     tot_trace = tot_p1 = 0.0
     for i, w in enumerate(captured):
