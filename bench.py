@@ -49,26 +49,30 @@ def bench_backward(scene, meta, cam, size=256):
     params = RenderParams(max_depth=4, mis=True)
 
     @jax.jit
-    def step(base_color_x):
+    def step(tables):
+        # the SAME three full material tables train_step_sharded
+        # differentiates (parallel/mesh.py) — base_color, emission, roughness
+        base_color, emission, roughness = tables
         mats = scene.materials._replace(
-            base_color=scene.materials.base_color._replace(x=base_color_x)
+            base_color=base_color, emission=emission, roughness=roughness
         )
         s = scene._replace(materials=mats)
         radiance, counters = trace_rows(s, meta, cam, jnp.int32(0), None, vp, params)
         loss = (radiance.x + radiance.y + radiance.z).mean()
         return loss, counters.num_rays + counters.num_shadow_rays
 
-    grad_fn = jax.jit(jax.value_and_grad(lambda b: step(b)[0]))
-    bx = scene.materials.base_color.x
-    (loss, g) = grad_fn(bx)
-    np.asarray(g)[:1]
-    _, nrays = step(bx)
+    grad_fn = jax.jit(jax.value_and_grad(lambda t: step(t)[0]))
+    m = scene.materials
+    tables = (m.base_color, m.emission, m.roughness)
+    (loss, g) = grad_fn(tables)
+    np.asarray(jax.tree_util.tree_leaves(g)[0])[:1]
+    _, nrays = step(tables)
     nrays = float(nrays)
     t0 = time.perf_counter()
     reps = 3
     for _ in range(reps):
-        loss, g = grad_fn(bx)
-    np.asarray(g)[:1]
+        loss, g = grad_fn(tables)
+    np.asarray(jax.tree_util.tree_leaves(g)[0])[:1]
     dt = (time.perf_counter() - t0) / reps
     return nrays / dt / 1e6
 
@@ -180,6 +184,42 @@ def main():
             "unit": "Mray/s (forward rays; cost includes reverse pass)",
             "vs_baseline": None,
         }))
+
+    # --- scaling-efficiency row (BASELINE.md ThreadPool-scaling analogue,
+    # tools/scaling_bench.py).  With >1 real device it runs in-process on
+    # the actual mesh; the sandbox tunnel exposes ONE chip, so it falls back
+    # to an 8-virtual-device CPU mesh in a subprocess (same code path:
+    # make_mesh + shard_map; the row's `semantics` field says which mode).
+    if os.environ.get("RT_BENCH_SCALING", "1") != "0":
+        try:
+            if jax.device_count() > 1:
+                from scaling_bench import main as scaling_main
+
+                scaling_main()
+            else:
+                import subprocess
+
+                env = dict(os.environ)
+                env["XLA_FLAGS"] = (
+                    env.get("XLA_FLAGS", "")
+                    + " --xla_force_host_platform_device_count=8"
+                )
+                boot = (
+                    "import jax; jax.config.update('jax_platforms', 'cpu');"
+                    "import sys; sys.path.insert(0, 'tools');"
+                    "from scaling_bench import main; main()"
+                )
+                r = subprocess.run(
+                    [sys.executable, "-c", boot], env=env, timeout=900,
+                    capture_output=True, text=True,
+                    cwd=os.path.dirname(os.path.abspath(__file__)),
+                )
+                for line in r.stdout.splitlines():
+                    if line.startswith("{"):
+                        print(line)
+        except Exception as e:  # never fail the whole bench on this row
+            print(json.dumps({"metric": "scaling_efficiency", "value": None,
+                              "error": str(e)[:200]}))
 
 
 if __name__ == "__main__":

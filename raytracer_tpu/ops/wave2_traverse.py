@@ -71,9 +71,16 @@ from .intersect import BIG
 TRI_EPS = 1e-7
 HIT_EPS = 1e-4
 
-CHUNK = 1024  # pairs per MT work chunk (one (8, 128) f32 tile)
-M_RUNS = 4  # max id-runs considered per chunk (excess -> continuation)
-NSUB = 16384  # continuation sub-wavefront size
+import os as _env_os
+
+CHUNK = int(_env_os.environ.get("RT_WAVE2_CHUNK", "256"))  # pairs per MT work chunk.
+# Small chunks shrink the FILLER budget (every super's pair-run is padded to
+# CHUNK multiples; the budget rides sorts 2+3 of EVERY round): at Cs=1563
+# (interior800k) it is Cs*(CHUNK-1) ~ 0.4M elements vs 1.6M at CHUNK=1024 -
+# measured to dominate small continuation rounds.  Geometry DMA per pair
+# rises (one super block per chunk) but stays <0.2 ns/pair.
+ROWS = CHUNK // 128  # ray rows per chunk
+NSUB = 65536  # continuation sub-wavefront size (whole-window tail batches)
 # pair sort key = super_id << shift | octant(3) | origin Morton; the shift
 # adapts to the super count so the composite key stays inside int32
 def _key_shift(cs: int) -> int:
@@ -312,8 +319,8 @@ def _mt_kernel(
     geom_ref,  # (1, 8K, 16) component-major geometry: tris on SUBLANES,
     # lanes [v0.xyz, e1.xyz, e2.xyz, tri_id, pad]; rows [s*K,(s+1)*K) = sub s
     sbox_ref,  # (1, 8, 8) sub boxes, lanes [min.xyz, max.xyz, 0, 0]
-    ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tl_ref,  # (1, 8, 128)
-    # outputs (1, 8, 128) — each chunk owns exactly one grid step (runs are
+    ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tl_ref,  # (1, ROWS, 128)
+    # outputs (1, ROWS, 128) — each chunk owns exactly one grid step (runs are
     # filler-padded to chunk multiples), so no revisiting and no read-back:
     # [t, tri, u, v, done]
     # then scratch: per-ray-row running best in tri-sublane space,
@@ -373,7 +380,7 @@ def _mt_kernel(
         sbox = sbox_ref[0]  # (8, 8)
         sb = lambda c: sbox[:, c : c + 1]  # (8, 1) sub-box component column
 
-        for r in range(SUB_PER_SUPER):  # ray rows (128 pairs each)
+        for r in range(ROWS):  # ray rows (128 pairs each)
             ro = slice(r, r + 1)
             rox, roy, roz = ox[ro], oy[ro], oz[ro]
             rdx, rdy, rdz = dx[ro], dy[ro], dz[ro]
@@ -625,7 +632,7 @@ def _round(cs_set: ClusterSet, ox, oy, oz, dx, dy, dz, tl, cursor, kc: int, bps:
     )
     block_cluster = jnp.clip(block_cluster, 0, cs)
 
-    chunked = lambda x: x.reshape(b2, 8, 128)
+    chunked = lambda x: x.reshape(b2, ROWS, 128)
     k = cs_set.tris_per_cluster
     n_supers = cs  # OOB block indices fault the TPU: clamp defensively
     geom_spec = pl.BlockSpec(
@@ -639,7 +646,7 @@ def _round(cs_set: ClusterSet, ox, oy, oz, dx, dy, dz, tl, cursor, kc: int, bps:
         memory_space=pltpu.VMEM,
     )
     pair_spec = pl.BlockSpec(
-        (1, 8, 128), lambda i, c: (i, 0, 0), memory_space=pltpu.VMEM
+        (1, ROWS, 128), lambda i, c: (i, 0, 0), memory_space=pltpu.VMEM
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -648,8 +655,8 @@ def _round(cs_set: ClusterSet, ox, oy, oz, dx, dy, dz, tl, cursor, kc: int, bps:
         out_specs=[pair_spec] * 5,
         scratch_shapes=[pltpu.VMEM((8, 128), jnp.float32)] * 4,
     )
-    f32s = jax.ShapeDtypeStruct((b2, 8, 128), jnp.float32)
-    i32s = jax.ShapeDtypeStruct((b2, 8, 128), jnp.int32)
+    f32s = jax.ShapeDtypeStruct((b2, ROWS, 128), jnp.float32)
+    i32s = jax.ShapeDtypeStruct((b2, ROWS, 128), jnp.int32)
     out_shape = [f32s, i32s, f32s, f32s, i32s]
     if _os.environ.get("RT_WAVE2_SKIP_KERNEL"):
         # perf-ablation diagnostics only (tools/probe_r5b.py): the sort-join
@@ -657,9 +664,9 @@ def _round(cs_set: ClusterSet, ox, oy, oz, dx, dy, dz, tl, cursor, kc: int, bps:
         # sorts+reduce bill from the MT kernel (requires jax.clear_caches()
         # between flag flips: the flag is read at trace time)
         ctl = chunked(ftl)
-        outs = [jnp.abs(ctl), jnp.full((b2, 8, 128), -1, jnp.int32),
-                jnp.zeros((b2, 8, 128), jnp.float32),
-                jnp.zeros((b2, 8, 128), jnp.float32),
+        outs = [jnp.abs(ctl), jnp.full((b2, ROWS, 128), -1, jnp.int32),
+                jnp.zeros((b2, ROWS, 128), jnp.float32),
+                jnp.zeros((b2, ROWS, 128), jnp.float32),
                 (jnp.abs(ctl) > 0.0).astype(jnp.int32)]
     else:
         outs = pl.pallas_call(

@@ -54,10 +54,12 @@ SCENES = {
     "background_light_test": (48, 0.16, 0.12),
     "cornell_box": (64, 0.12, 0.03),
     # area light almost fully occluded -> high-variance NEE; mean-rel is
-    # noise-dominated at this pass count but the ratio is tight
-    "cornell_box_obstructed": (64, 0.30, 0.03),
+    # noise-dominated (r5 measured 0.161 at 128 passes) but the ratio is
+    # tight — the band probes systematic error only
+    "cornell_box_obstructed": (128, 0.22, 0.03),
     # 5-degree directional light + specular chains -> firefly-dominated
-    "directional_light_test": (64, 0.20, 0.03),
+    # (r5 measured 0.115 at 128 passes)
+    "directional_light_test": (128, 0.16, 0.03),
     "dof_test": (4, 0.02, 0.01),
     "furnace_test": (64, 0.02, 0.01),
     "furnace_test_2": (64, 0.04, 0.01),
@@ -125,13 +127,20 @@ MODERN_SCENES = {
     # parity landed — measured 0.0875 mean-rel / ratio 1.000004 (the r3 band
     # was 0.90 for the then-missing textureScale)
     "sphere_light_test": (64, 0.13, 0.03),
-    # glossy dielectric chains: firefly-dominated at this pass count
-    "glossy_refraction_test": (64, 0.25, 0.08),
-    # NOT covered: texture_test / small_light_test render BLACK in the
-    # REFERENCE itself after schema modernization (their old edge-rect light
-    # normals face away under the current loader's conventions) — no signal
-    # to compare; dispersion_test needs the reference's compile-gated
-    # spectral build (RT_ENABLE_SPECTRAL_RENDERING off upstream by default).
+    # r5: the old-schema conversion gained three fixes (plane objects were
+    # XZ ground planes, rect-light sizes are FULL edge lengths vs the
+    # current schema's half extents, and emitting sides must face the
+    # scene — tools/modernize_scenes.py) — the scenes that previously
+    # rendered black (or showed only the light's own face) in BOTH
+    # renderers now carry real signal.  Measured r5: glossy 0.0247/0.9942,
+    # small_light 0.0123/1.0000, texture 0.1438/0.9948 (grazing fine-checker
+    # moire like bitmap_texture_test), dispersion RGB 0.0865/0.9936.
+    "glossy_refraction_test": (64, 0.05, 0.03),
+    "small_light_test": (64, 0.04, 0.02),
+    "texture_test": (64, 0.20, 0.03),
+    # non-spectral build ignores `dispersive` (RT_ENABLE_SPECTRAL_RENDERING
+    # off): plain rough-glass parity on the dispersion scene
+    "dispersion_test": (96, 0.13, 0.03),
 }
 
 
@@ -183,6 +192,63 @@ def test_modern_golden_agreement(name, modern_dir):
     ratio = float(o.mean() / max(g.mean(), 1e-9))
     assert mean_rel <= mean_tol, f"{name}: mean rel {mean_rel:.4f} > {mean_tol}"
     assert abs(ratio - 1.0) <= ratio_tol, f"{name}: ratio {ratio:.4f}"
+
+
+def test_dispersion_spectral_golden(modern_dir):
+    """Spectral-mode parity on dispersion_test against the reference BUILT
+    WITH RT_ENABLE_SPECTRAL_RENDERING (tests/goldens/dispersion_test_
+    spectral.exr; tools/ref_baseline/build_ref.sh + a copy with the flag and
+    RT_CONFIGURATION_FINAL — the reference's spectral path trips its own
+    RT_ASSERT(radiance.IsValid()) NaN checks, an unmaintained configuration
+    upstream ships disabled).
+
+    Documented reference quirk (measured r5, like the Refract3 case): the
+    reference's spectral pipeline converts EVERY path through Spectrum ->
+    XYZ with a D65 illuminant and an uncalibrated normalization
+    (`RayColor.cpp:277-293`: x1/1.33 x colorMatchinhNormFactor/8), so its
+    spectral render is NOT colorimetrically consistent with its own RGB
+    render of the same scene — measured per-channel spectral/RGB ratios
+    [0.61, 0.87, 0.89] here and [1.49, 2.41, 2.70] on a larger-light
+    variant (scene-dependent).  Our spectral mode is calibrated so
+    E[resolve] = 1: our spectral and RGB renders of this scene agree to
+    0.04% (asserted in test_spectral.py).  The comparison therefore
+    normalizes the golden by its own measured per-channel tint vs the RGB
+    golden and probes SHAPE agreement + dispersion presence.
+    """
+    golden_spec = read_exr(os.path.join(GOLDENS, "dispersion_test_spectral.exr"))
+    golden_rgb = read_exr(os.path.join(GOLDENS, "dispersion_test.exr"))
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        scene, meta, cam = load_scene(
+            os.path.join(modern_dir, "TestScenes_modern", "dispersion_test.json"),
+            data_path=modern_dir,
+        )
+    vp = Viewport(
+        scene, meta, cam,
+        ViewportParams(width=128, height=128, seed=0),
+        RenderParams(max_depth=8, mis=True, spectral=True),
+    )
+    vp.render(128)
+    ours = np.asarray(vp.radiance())
+
+    tint = golden_spec.mean((0, 1)) / np.maximum(golden_rgb.mean((0, 1)), 1e-9)
+    g = _downsample(golden_spec / tint)
+    o = _downsample(ours)
+    rel = np.abs(o - g) / np.maximum(g, 1e-2)
+    mean_rel = float(rel.mean())
+    ratio = float(o.mean() / max(g.mean(), 1e-9))
+    # r5 measured 0.2303 / 0.9930 at these pass counts (residual = spectral
+    # MC noise + the reference's per-path D65 reweighting, which no global
+    # tint fully removes)
+    assert mean_rel <= 0.32, f"spectral mean rel {mean_rel:.4f}"
+    assert abs(ratio - 1.0) <= 0.06, f"spectral ratio {ratio:.4f}"
+
+    # dispersion must actually produce chromatic spread beyond the RGB
+    # render's (r5 measured caustic-cell chromatic excess 0.033 ours vs
+    # 0.062 reference on the large-light variant)
+    o_rgb = _downsample(np.asarray(golden_rgb))
+    excess = np.abs(o[..., 0] - o[..., 2]) - np.abs(o_rgb[..., 0] - o_rgb[..., 2])
+    assert float(np.clip(excess, 0, None).mean()) > 0.002, "no chromatic spread"
 
 
 ENV_SCENES = {

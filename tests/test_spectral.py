@@ -8,6 +8,7 @@ refraction, and energy conservation of the spectral estimator.
 """
 
 import numpy as np
+import pytest
 import jax.numpy as jnp
 
 from raytracer_tpu.color.spectrum import (
@@ -170,3 +171,43 @@ class TestHeroStratification:
         # next cycle repeats the strata
         lam8 = float(sample_wavelength_stratified(u, jnp.int32(NUM_STRATA)))
         assert abs(lam8 - lams[0]) < 1e-3
+
+
+class TestSpectralCalibration:
+    @pytest.mark.slow
+    def test_dispersive_scene_spectral_matches_rgb_brightness(self):
+        """Our spectral estimator is calibrated to the RGB estimator
+        (E[rgb_resolve] = (1,1,1)): on the reference's dispersion_test scene
+        the spectral and RGB renders agree in global brightness to <1%
+        (r5 measured 0.9996).  The REFERENCE's own spectral build fails this
+        by 2x with a per-channel tint (`RayColor.cpp:277-293` D65 x
+        uncalibrated norm — documented quirk, see
+        test_ref_agreement.test_dispersion_spectral_golden)."""
+        import os as _os
+        import sys as _sys
+        import warnings as _warnings
+
+        _sys.path.insert(0, _os.path.join(_os.path.dirname(__file__), "..", "tools"))
+        from make_test_textures import ensure
+        import modernize_scenes as mz
+
+        from raytracer_tpu.io.scene_loader import load_scene
+
+        data_dir = ensure("/tmp/refdata_tests")
+        mz.OUT_DIR = _os.path.join(data_dir, "TestScenes_modern")
+        scene_json = mz.modernize("dispersion_test")
+        with _warnings.catch_warnings():
+            _warnings.simplefilter("ignore")
+            scene, meta, cam = load_scene(scene_json, data_path=data_dir)
+
+        imgs = {}
+        for spectral in (False, True):
+            vp = Viewport(
+                scene, meta, cam,
+                ViewportParams(width=96, height=96, seed=0),
+                RenderParams(max_depth=6, mis=True, spectral=spectral),
+            )
+            vp.render(64)
+            imgs[spectral] = np.asarray(vp.radiance())
+        ratio = imgs[True].mean() / imgs[False].mean()
+        assert abs(ratio - 1.0) < 0.02, f"spectral/RGB brightness ratio {ratio:.4f}"

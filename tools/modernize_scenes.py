@@ -34,16 +34,24 @@ OUT_DIR = "/tmp/refdata/TestScenes_modern"
 def euler_from_rows(m: np.ndarray) -> tuple[float, float, float]:
     """Invert quat_to_matrix3(quat_from_euler_deg([p, y, r])) (rows = images
     of the local axes)."""
-    pitch = np.rad2deg(np.arcsin(np.clip(-m[2][1], -1.0, 1.0)))
-    yaw = np.rad2deg(np.arctan2(m[2][0], m[2][2]))
-    roll = np.rad2deg(np.arctan2(m[0][1], m[1][1]))
+    sp = float(np.clip(-m[2][1], -1.0, 1.0))
+    pitch = np.rad2deg(np.arcsin(sp))
+    if abs(sp) > 1.0 - 1e-9:
+        # gimbal lock (straight up/down rect): yaw/roll degenerate; the
+        # convention here (verified numerically against quat_from_euler_deg)
+        # leaves m[0] = [cos yaw, 0, -sin yaw] with roll = 0
+        yaw = np.rad2deg(np.arctan2(-m[0][2], m[0][0]))
+        roll = 0.0
+    else:
+        yaw = np.rad2deg(np.arctan2(m[2][0], m[2][2]))
+        roll = np.rad2deg(np.arctan2(m[0][1], m[1][1]))
     # verify round-trip
     m2 = quat_to_matrix3(quat_from_euler_deg([pitch, yaw, roll]))
     assert np.allclose(m2, m, atol=1e-5), (m, m2)
     return float(pitch), float(yaw), float(roll)
 
 
-def modernize_light(l: dict) -> dict:
+def modernize_light(l: dict, scene_center=None) -> dict:
     if l.get("type") == "sphere":
         return {
             "type": "area",
@@ -59,12 +67,27 @@ def modernize_light(l: dict) -> dict:
         x = e0 / n0
         y = e1 / n1
         assert abs(float(x @ y)) < 1e-6, "edge rect is not orthogonal"
+        # current-schema area lights emit from ONE side (+normal).  The old
+        # edge-rect schema is gone from the reference's loader, so the edge
+        # handedness is unrecoverable; when cross(e0, e1) points AWAY from
+        # the scene's object centroid the light would illuminate nothing and
+        # the scene renders black in BOTH renderers (dispersion_test as
+        # shipped) — orient the emitting side toward the scene instead.
+        if scene_center is not None:
+            center = p + (e0 + e1) * 0.5
+            to_scene = np.asarray(scene_center, np.float64) - center
+            if float(np.cross(x, y) @ to_scene) < 0.0:
+                x, y = y, x
+                n0, n1 = n1, n0
         rows = np.stack([x, y, np.cross(x, y)])
         pitch, yaw, roll = euler_from_rows(rows)
         return {
             "type": "area",
             "color": l["color"],
-            "shape": {"type": "rect", "size": [float(n0), float(n1)]},
+            # current-schema rect 'size' is the HALF extent per axis
+            # (`RectShape::GetSurfaceArea` = 4*x*y, `RectShape.cpp:27-30`);
+            # the old schema's edges spanned the FULL rect
+            "shape": {"type": "rect", "size": [float(n0) / 2.0, float(n1) / 2.0]},
             "transform": {
                 "translation": [float(v) for v in (p + (e0 + e1) * 0.5)],
                 "orientation": [pitch, yaw, roll],
@@ -124,7 +147,23 @@ def modernize(name: str) -> str:
     src = f"/root/reference/Data/TestScenes/{name}.json"
     doc = json.load(open(src))
     _rad_to_deg_orientations(doc)  # BEFORE adding degree-valued lights
-    doc["lights"] = [modernize_light(l) for l in doc.get("lights", [])]
+    # old-schema 'plane' objects were XZ ground planes (+Y normal); the
+    # current schema's rect/plane shape is the z=0 plane (+Z normal,
+    # `RectShape.cpp`) — current-era scenes set orientation [-90,0,0]
+    # explicitly (mis_test.json ground).  An orientation-less plane in an
+    # old-schema scene therefore stands VERTICAL after conversion (verified:
+    # dispersion_test's 'ground' backfaced the camera and the render went
+    # black in BOTH renderers) — restore the ground convention.
+    for o in doc.get("objects", []):
+        if o.get("type") in ("plane", "rect"):
+            tr = o.setdefault("transform", {})
+            if "orientation" not in tr:
+                tr["orientation"] = [-90.0, 0.0, 0.0]
+    centers = [o.get("transform", {}).get("translation", [0.0, 0.0, 0.0])
+               for o in doc.get("objects", [])]
+    center = (np.mean(np.asarray(centers, np.float64), axis=0)
+              if centers else np.zeros(3))
+    doc["lights"] = [modernize_light(l, center) for l in doc.get("lights", [])]
     os.makedirs(OUT_DIR, exist_ok=True)
     out = os.path.join(OUT_DIR, f"{name}.json")
     json.dump(doc, open(out, "w"), indent=1)
