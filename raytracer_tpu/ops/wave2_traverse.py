@@ -15,23 +15,30 @@ fast on this hardware:
   being gathered afterwards;
 - **sequential DMA** (BlockSpec pipelining + double-buffered manual copies).
 
-Pipeline (round 4 shape):
+Pipeline (round 5 shape):
 
 0. Liveness windows (``_wave2_trace``): rays with work (t_max > 0) are
    compacted to the front by ONE stable sort and traced in fixed-size
    ``SUBWAVE`` windows via `lax.while_loop` — wavefront cost follows the
    LIVE ray count down the bounce ladder; an all-dead wavefront costs two
    small sorts and nothing else.
-1. ``_p1_extract`` (XLA): dense (rays × Cs) slab test; the 0/1 hit matrix
-   is bit-packed by one bf16 MXU matmul, then a find-first-set peel emits
-   up to ``kc`` overlapped super ids per ray (ascending id = the resume
-   cursor is one int) plus the count it could not emit.
+1. ``_p1_extract`` (XLA, default): dense (rays × Cs) slab test; the 0/1
+   hit matrix is bit-packed by one bf16 MXU matmul, then a find-first-set
+   peel emits up to ``kc`` overlapped super ids per ray in ascending id
+   order (the resume cursor is one int).  ``_p1_extract_ftb``
+   (RT_WAVE2_FTB=1, experimental): packs (t_enter, id) into one sortable
+   int32 key per overlap and peels the NEAREST unvisited supers in
+   distance order with entry-distance early termination
+   (`Traversal_Single.h:65-75`).  Measured r5: nearest-first saves traced
+   pairs but multiplies round count, and window-sized per-round sorts eat
+   the saving (1658 vs 719 ms/pass at 512² mesh200k) — one big id-ordered
+   round beats many small distance-ordered ones on this hardware.
 2. Pair join: one 9-operand `lax.sort` on the composite key
-   ``super_id << 21 | ray_octant | origin_Morton`` — chunks stay
+   ``super_id << shift | ray_octant | origin_Morton`` — chunks stay
    single-super while each chunk's rays become spatially/directionally
    coherent (so the kernel's (row, sub-box) gates cull; this is the
    stubbed RayStream sorter's intent, `Core/Traversal/RayStream.cpp`).
-   A second sort filler-pads every super's run to 1024-pair chunks, so no
+   A second sort filler-pads every super's run to CHUNK-pair chunks, so no
    chunk crosses supers and nothing can be dropped.
 3. ``_mt_kernel`` (Pallas): per chunk, DMA the super's component-major
    geometry (tris on sublanes) and run fully-vectorized Möller-Trumbore —
@@ -41,10 +48,10 @@ Pipeline (round 4 shape):
    row's rays do not touch.  Emits per-pair (t, tri, u, v, processed).
 4. Reduce: one more sort returns results to ray-major order; a dense
    (N, kc) masked min picks each ray's best.
-5. Continuation: rays with remaining candidates (count > kc or shrunken t
-   bounds) are compacted (sort) into ``NSUB`` sub-wavefronts and re-traced
-   in a `lax.while_loop` until none remain — the exactness guarantee,
-   typically 0-2 iterations for <=15% of rays.
+5. Continuation: unresolved rays (a nearer unvisited candidate exists) are
+   compacted (sort) into ``NSUB`` sub-wavefronts and re-traced in a
+   `lax.while_loop` until none remain — the exactness guarantee,
+   typically 0-2 iterations for a shrinking minority of rays.
 
 CPU runs the same code under `interpret=True` (tests); TPU compiles the
 kernels.  AD-detached like every traversal backend (SURVEY §7).
@@ -73,14 +80,16 @@ HIT_EPS = 1e-4
 
 import os as _env_os
 
-CHUNK = int(_env_os.environ.get("RT_WAVE2_CHUNK", "256"))  # pairs per MT work chunk.
-# Small chunks shrink the FILLER budget (every super's pair-run is padded to
-# CHUNK multiples; the budget rides sorts 2+3 of EVERY round): at Cs=1563
-# (interior800k) it is Cs*(CHUNK-1) ~ 0.4M elements vs 1.6M at CHUNK=1024 -
-# measured to dominate small continuation rounds.  Geometry DMA per pair
-# rises (one super block per chunk) but stays <0.2 ns/pair.
+CHUNK = int(_env_os.environ.get("RT_WAVE2_CHUNK", "1024"))  # pairs per MT work chunk.
+# Tradeoff (measured r5): small chunks shrink the FILLER budget (every
+# super's pair-run is padded to CHUNK multiples; the budget rides sorts 2+3
+# of EVERY round — 1.6M elements at Cs=1563/CHUNK=1024) but QUADRUPLE the
+# grid-step count, whose per-step cost (12 pipelined buffers) dominates:
+# id-order kc16 at CHUNK=256 measured ~1.5x slower than CHUNK=1024 on the
+# mesh200k dispatch.  1024 wins on both bench scenes; RT_WAVE2_CHUNK is the
+# A/B knob.
 ROWS = CHUNK // 128  # ray rows per chunk
-NSUB = 65536  # continuation sub-wavefront size (whole-window tail batches)
+NSUB = int(_env_os.environ.get("RT_WAVE2_NSUB", "16384"))  # continuation sub-wavefront size
 # pair sort key = super_id << shift | octant(3) | origin Morton; the shift
 # adapts to the super count so the composite key stays inside int32
 def _key_shift(cs: int) -> int:
@@ -874,10 +883,15 @@ import os
 
 
 def _ftb_default() -> bool:
-    """Front-to-back candidate ordering + early termination (default on).
-    RT_WAVE2_FTB=0 restores the round-4 ascending-id extraction (A/B knob,
-    read at trace time)."""
-    return os.environ.get("RT_WAVE2_FTB", "1") != "0"
+    """Front-to-back candidate ordering + early termination — EXPERIMENTAL,
+    default OFF.  Measured r5 (512^2 mesh200k pass, in-jit): ftb kc4 1658 ms
+    vs id-order kc16 719 ms — nearest-first extraction saves traced pairs
+    but multiplies ROUND COUNT, and each continuation round pays
+    window-sized sorts + the filler budget, which dominates on this
+    hardware (docs/perf_notes.md r5).  One big id-ordered round beats many
+    small distance-ordered ones.  RT_WAVE2_FTB=1 enables it (exact; greens
+    the oracle suite)."""
+    return os.environ.get("RT_WAVE2_FTB", "0") == "1"
 
 
 def _kc_default(ftb: bool) -> int:
