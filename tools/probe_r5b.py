@@ -98,3 +98,23 @@ def main():
 
 if __name__ == "__main__":
     main()
+
+
+def bigk():
+    """A/B super size: k tris per cluster (8k per super) vs the k=64 default
+    on the full production trace at 262k incoherent rays."""
+    import traversal_bench as tb
+    rng2 = np.random.default_rng(7)
+    v0, e1, e2 = tb.make_mesh(200_000, rng2)
+    o, d = tb.incoherent_rays(N, rng2)
+    tm = jnp.full((N,), 100.0)
+    from raytracer_tpu.ops import wave2_traverse as w2
+    for k in (64, 128, 256):
+        cs = build_clusters(v0, e1, e2, k=k)
+        def step(x, cs=cs):
+            t, tri, u, v, _, ovf = w2._wave2_trace(
+                cs, o.x + x, o.y, o.z, d.x, d.y, d.z, tm, min(16, cs.num_supers), False, 64, False
+            )
+            return t[0] * 1e-12
+        print(f"[bigk k={k:3d} supers={cs.num_supers:4d}] "
+              f"{injit_time(step, jnp.float32(0.0))*1e3:8.1f} ms", flush=True)
